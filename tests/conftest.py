@@ -1,0 +1,21 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from maplibre_tile_spec_spark.session import get_spark
+
+    s = get_spark(master="local[4]", shuffle_partitions=4, app_name="mlt-spark-tests")
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return os.path.join(TESTDATA, "sf0.001")

@@ -1,0 +1,219 @@
+"""Unit + property tests for the numpy stream-codec kernels.
+
+Mirrors the reference's encoding unit tests (java/mlt-core/src/test/.../
+converter/encodings/{VarintTest,EncodingUtilsTest}.java, decoder/
+{IntegerDecoderTest,ByteRleTest,DecodingUtilsTest}.java and
+SpaceFillingCurveTest.java) — round-trip invariants plus closed-form anchors.
+"""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from maplibre_tile_spec_spark.functions import kernels as K
+
+int32s = st.lists(st.integers(-(2**31), 2**31 - 1), min_size=1, max_size=300)
+uints = st.lists(st.integers(0, 2**63 - 1), min_size=0, max_size=300)
+
+
+class TestZigZag:
+    def test_anchors(self):
+        v = np.array([0, -1, 1, -2, 2, -(2**31), 2**31 - 1])
+        enc = K.zigzag_encode(v, bits=32)
+        assert enc[:5].tolist() == [0, 1, 2, 3, 4]
+        assert np.array_equal(K.zigzag_decode(enc, bits=32), v)
+
+    @given(int32s)
+    @settings(max_examples=50, deadline=None)
+    def test_roundtrip32(self, vals):
+        v = np.array(vals, dtype=np.int64)
+        assert np.array_equal(K.zigzag_decode(K.zigzag_encode(v, 32), 32), v)
+
+    @given(st.lists(st.integers(-(2**62), 2**62), min_size=1, max_size=100))
+    @settings(max_examples=50, deadline=None)
+    def test_roundtrip64(self, vals):
+        v = np.array(vals, dtype=np.int64)
+        assert np.array_equal(K.zigzag_decode(K.zigzag_encode(v, 64), 64), v)
+
+
+class TestVarint:
+    def test_anchors(self):
+        # 300 = 0xAC 0x02 (protobuf doc example); 127 single byte; 128 two bytes
+        assert K.varint_encode(np.array([300], dtype=np.uint64)) == b"\xac\x02"
+        assert K.varint_encode(np.array([127], dtype=np.uint64)) == b"\x7f"
+        assert K.varint_encode(np.array([128], dtype=np.uint64)) == b"\x80\x01"
+        assert K.varint_encode(np.array([0], dtype=np.uint64)) == b"\x00"
+
+    @given(uints)
+    @settings(max_examples=50, deadline=None)
+    def test_roundtrip(self, vals):
+        v = np.array(vals, dtype=np.uint64)
+        buf = K.varint_encode(v)
+        out, pos = K.varint_decode(buf, len(vals))
+        assert pos == len(buf)
+        assert np.array_equal(out, v)
+
+    def test_offset_decode(self):
+        buf = b"\xff" + K.varint_encode(np.array([5, 300], dtype=np.uint64))
+        out, pos = K.varint_decode(buf, 2, offset=1)
+        assert out.tolist() == [5, 300]
+        assert pos == len(buf)
+
+
+class TestDeltaRle:
+    @given(int32s)
+    @settings(max_examples=50, deadline=None)
+    def test_delta_roundtrip(self, vals):
+        v = np.array(vals, dtype=np.int64)
+        assert np.array_equal(K.delta_decode(K.delta_encode(v)), v)
+
+    def test_rle(self):
+        runs, vals = K.rle_encode(np.array([1, 1, 1, 2, 2, 3]))
+        assert runs.tolist() == [3, 2, 1]
+        assert vals.tolist() == [1, 2, 3]
+        assert np.array_equal(K.rle_decode(runs, vals), np.array([1, 1, 1, 2, 2, 3]))
+        assert K.num_runs(np.array([1, 1, 1, 2, 2, 3])) == 3
+        assert K.num_runs(np.array([7])) == 1
+
+
+class TestByteRle:
+    def test_run_and_literals(self):
+        data = bytes([5] * 10 + [1, 2, 3]) + bytes([9] * 200)
+        enc = K.byte_rle_encode(data)
+        dec, pos = K.byte_rle_decode(enc, len(data))
+        assert pos == len(enc)
+        assert dec.tobytes() == data
+
+    def test_control_semantics(self):
+        # run of 3 → control 0
+        assert K.byte_rle_encode(bytes([7, 7, 7])) == bytes([0, 7])
+        # 2 literals → control 0xFE (256-2)
+        assert K.byte_rle_encode(bytes([1, 2])) == bytes([0xFE, 1, 2])
+
+    @given(st.binary(min_size=0, max_size=600))
+    @settings(max_examples=50, deadline=None)
+    def test_roundtrip(self, data):
+        enc = K.byte_rle_encode(data)
+        if data:
+            dec, _ = K.byte_rle_decode(enc, len(data))
+            assert dec.tobytes() == data
+
+    @given(st.lists(st.booleans(), min_size=1, max_size=500))
+    @settings(max_examples=50, deadline=None)
+    def test_boolean_roundtrip(self, bits):
+        b = np.array(bits)
+        enc = K.boolean_rle_encode(b)
+        dec, _ = K.boolean_rle_decode(enc, len(bits), len(enc))
+        assert np.array_equal(dec, b)
+
+
+class TestIntStreamSelection:
+    def test_const_stream_forced_rle(self):
+        # 4×1: size tie with plain, but const ⇒ RLE (IntegerEncoder.java:294-296,359-361)
+        r = K.encode_int_stream(np.array([1, 1, 1, 1]), signed=False)
+        assert (r.llt1, r.llt2) == (K.LLT_RLE, K.LLT_NONE)
+        assert r.num_runs == 1
+
+    def test_ascending_picks_delta_family(self):
+        r = K.encode_int_stream(np.arange(1000), signed=False)
+        assert r.llt1 == K.LLT_DELTA and r.llt2 == K.LLT_RLE  # constant delta → delta-rle
+
+    def test_random_picks_plain(self):
+        rng = np.random.RandomState(7)
+        v = rng.randint(0, 2**20, 500)
+        r = K.encode_int_stream(v, signed=False)
+        assert (r.llt1, r.llt2) == (K.LLT_NONE, K.LLT_NONE)
+
+    @given(int32s, st.booleans())
+    @settings(max_examples=60, deadline=None)
+    def test_roundtrip_all_paths(self, vals, signed):
+        v = np.array(vals, dtype=np.int64)
+        if not signed:
+            v = np.abs(v)
+        r = K.encode_int_stream(v, signed=signed)
+        out, _ = K.decode_int_stream(
+            r.payload, 0, r.num_values, len(r.payload), r.llt1, r.llt2, signed,
+            num_runs_meta=r.num_runs, num_rle_values=r.num_rle_values,
+        )
+        assert np.array_equal(out, v)
+
+
+class TestVec2:
+    @given(st.lists(st.tuples(st.integers(-4096, 8192), st.integers(-4096, 8192)), min_size=1, max_size=200))
+    @settings(max_examples=50, deadline=None)
+    def test_roundtrip(self, pts):
+        xs = np.array([p[0] for p in pts], dtype=np.int64)
+        ys = np.array([p[1] for p in pts], dtype=np.int64)
+        enc = K.vec2_zigzag_delta_encode(xs, ys)
+        ox, oy = K.vec2_zigzag_delta_decode(enc)
+        assert np.array_equal(ox, xs) and np.array_equal(oy, ys)
+
+
+class TestSfc:
+    def test_bounds(self):
+        # SpaceFillingCurve.java:10-22: shift=|min| if min<0; bits=ceil(log2(extent+1))
+        assert K.sfc_bounds(0, 4095) == (12, 0)
+        assert K.sfc_bounds(-2048, 6143) == (13, 2048)
+
+    def test_morton_anchor(self):
+        # interleave x even / y odd: (x=3,y=5) → 100111b = 39
+        assert K.morton_encode(np.array([3]), np.array([5]))[0] == 39
+        x, y = K.morton_decode(np.array([39], dtype=np.uint64))
+        assert (x[0], y[0]) == (3, 5)
+
+    @given(st.lists(st.tuples(st.integers(0, 2**15), st.integers(0, 2**15)), min_size=1, max_size=100))
+    @settings(max_examples=40, deadline=None)
+    def test_morton_roundtrip(self, pts):
+        xs = np.array([p[0] for p in pts])
+        ys = np.array([p[1] for p in pts])
+        x2, y2 = K.morton_decode(K.morton_encode(xs, ys))
+        assert np.array_equal(x2, xs) and np.array_equal(y2, ys)
+
+    def test_hilbert_order2_anchor(self):
+        # canonical order-2 Hilbert walk
+        xs = np.array([0, 1, 1, 0, 0, 0, 1, 1, 2, 2, 3, 3, 3, 2, 2, 3])
+        ys = np.array([0, 0, 1, 1, 2, 3, 3, 2, 2, 3, 3, 2, 1, 1, 0, 0])
+        d = K.hilbert_encode(xs, ys, order=2)
+        assert d.tolist() == list(range(16))
+
+    @given(st.lists(st.tuples(st.integers(0, 2**12 - 1), st.integers(0, 2**12 - 1)), min_size=1, max_size=100))
+    @settings(max_examples=40, deadline=None)
+    def test_hilbert_roundtrip(self, pts):
+        xs = np.array([p[0] for p in pts])
+        ys = np.array([p[1] for p in pts])
+        d = K.hilbert_encode(xs, ys, order=12)
+        x2, y2 = K.hilbert_decode(d, order=12)
+        assert np.array_equal(x2, xs) and np.array_equal(y2, ys)
+
+    def test_hilbert_locality(self):
+        # consecutive indices are adjacent cells (defining property)
+        d = np.arange(256)
+        x, y = K.hilbert_decode(d, order=4)
+        step = np.abs(np.diff(x)) + np.abs(np.diff(y))
+        assert (step == 1).all()
+
+
+class TestStreamMetadata:
+    @pytest.mark.parametrize(
+        "pst,lt,llt1,llt2,extra",
+        [
+            (K.PST_DATA, 0, K.LLT_NONE, K.LLT_NONE, ()),
+            (K.PST_DATA, 1, K.LLT_RLE, K.LLT_NONE, (5, 100)),
+            (K.PST_OFFSET, 0, K.LLT_DELTA, K.LLT_RLE, (7, 300)),
+            (K.PST_DATA, 4, K.LLT_MORTON, K.LLT_DELTA, (13, 2048)),
+            (K.PST_PRESENT, 0, K.LLT_NONE, K.LLT_NONE, ()),
+        ],
+    )
+    def test_roundtrip(self, pst, lt, llt1, llt2, extra):
+        buf = K.pack_stream_metadata(pst, lt, llt1, llt2, K.PLT_VARINT, 1234, 567, extra)
+        meta, pos = K.unpack_stream_metadata(buf, 0)
+        assert pos == len(buf)
+        assert meta["physical_stream_type"] == pst
+        assert meta["logical_type"] == lt
+        assert (meta["llt1"], meta["llt2"]) == (llt1, llt2)
+        assert meta["num_values"] == 1234 and meta["byte_length"] == 567
+        if llt1 == K.LLT_RLE or llt2 == K.LLT_RLE:
+            assert (meta["runs"], meta["num_rle_values"]) == extra
+        if llt1 == K.LLT_MORTON:
+            assert (meta["num_bits"], meta["coordinate_shift"]) == extra
