@@ -1,0 +1,278 @@
+"""The north-star spatial joins: point-in-polygon, kNN, raster↔vector.
+
+All three are expressed Spark-first:
+
+* **PIP** — polygon grid-cell cover (quadtree analog of an H3
+  ``polygon_to_cells`` cover) ⋈ point cells as per-level *broadcast* equi-
+  joins, then an exact vectorized ray-cast refine in one ``mapInPandas``
+  (bounded Arrow batches ⇒ no giant-group skew; a hot polygon's candidates
+  spread across many batches).
+* **kNN** — grid-cell ring expansion: points bucketed once, queries explode
+  to a (2r+1)² neighbor ring, equi-join, windowed top-k, then a provably
+  sufficient distance bound decides which queries are done; the rare
+  unresolved remainder falls back to an exact broadcast pass. This is the
+  S2 cell-ring expansion of BASELINE.json in quadtree coordinates.
+* **raster↔vector** — the quadkey range join [qk_min, qk_max) is linearized
+  into an ancestor equi-join (a pyramid tile's numeric-quadkey range is
+  exactly its subtree), so Catalyst runs a hash join instead of a
+  nested-loop range join; a literal range-join variant is provided for
+  irregular ranges.
+
+Reference anchors: Morton/quadkey math java/.../converter/geometry/
+ZOrderCurve.java:9-47; the reference itself has no joins (SURVEY.md §2.3) —
+these are the BASELINE.json north-star operators.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from maplibre_tile_spec_spark.functions import geom as G
+from maplibre_tile_spec_spark.functions import tilemath as TM
+from maplibre_tile_spec_spark.functions import wkt as W
+
+EARTH_CIRCUMFERENCE_KM = 40075.017
+
+
+# ---------------------------------------------------------------------------
+# point-in-polygon
+# ---------------------------------------------------------------------------
+
+PIP_COVER_SCHEMA = "poly_id string, level int, cx int, cy int"
+
+
+def polygon_cover(polys: DataFrame, levels: tuple[int, ...] = (4, 6, 8, 10, 12), max_cells: int = 64) -> DataFrame:
+    """(poly_id, level, cx, cy) bbox-cover cells, each polygon at the finest
+    allowed level whose cover stays ≤ max_cells (snapped down to ``levels``)."""
+    lv = sorted(levels)
+
+    def cover(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for poly_id, wkt in zip(pdf["poly_id"], pdf["geom_wkt"]):
+                x0, y0, x1, y1 = W.wkt_bbox(wkt)
+                raw = G.adaptive_cover_level(x0, y0, x1, y1, max_cells=max_cells, max_level=lv[-1])
+                level = max([l for l in lv if l <= raw], default=lv[0])
+                for cx, cy in G.bbox_cover_cells(x0, y0, x1, y1, level):
+                    rows.append((poly_id, level, cx, cy))
+            yield pd.DataFrame(rows, columns=["poly_id", "level", "cx", "cy"])
+
+    return polys.mapInPandas(cover, schema=PIP_COVER_SCHEMA)
+
+
+def pip_join(
+    points: DataFrame,
+    polys: DataFrame,
+    id_col: str = "pid",
+    levels: tuple[int, ...] = (4, 6, 8, 10, 12),
+    broadcast_polys: bool = True,
+) -> DataFrame:
+    """Exact point-in-polygon join → (id_col, poly_id).
+
+    points: (id_col, lon, lat); polys: (poly_id, geom_wkt).
+    Candidate generation is per-level equi-joins on grid cells (broadcast
+    when the polygon side is dimension-sized); refinement is an exact
+    ray-cast over Arrow batches, each polygon parsed once per batch.
+    """
+    cover = polygon_cover(polys, levels=levels)
+    if broadcast_polys:
+        cover = F.broadcast(cover)
+
+    candidates = None
+    for level in sorted(set(levels)):
+        pc = points.select(
+            F.col(id_col),
+            F.col("lon"),
+            F.col("lat"),
+            TM.lon_to_tile_x(F.col("lon"), level).alias("cx"),
+            TM.lat_to_tile_y(F.col("lat"), level).alias("cy"),
+        )
+        cands_l = pc.join(
+            cover.filter(F.col("level") == level).select("poly_id", "cx", "cy"),
+            ["cx", "cy"],
+            "inner",
+        ).select(id_col, "lon", "lat", "poly_id")
+        candidates = cands_l if candidates is None else candidates.unionByName(cands_l)
+
+    polys_b = F.broadcast(polys) if broadcast_polys else polys
+    cand = candidates.join(polys_b, "poly_id", "inner")
+
+    refine_schema = f"{id_col} string, poly_id string"
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            keep_idx: list[np.ndarray] = []
+            for wkt, grp in pdf.groupby("geom_wkt", sort=False):
+                _, coords, structure = W.parse_wkt(wkt)
+                rings, i = [], 0
+                for part in structure:
+                    for n in part:
+                        rings.append(coords[i : i + n])
+                        i += n
+                inside = G.points_in_polygon(grp["lon"].to_numpy(), grp["lat"].to_numpy(), rings)
+                keep_idx.append(grp.index.to_numpy()[inside])
+            keep = np.concatenate(keep_idx) if keep_idx else np.array([], dtype=np.int64)
+            out = pdf.loc[keep, [id_col, "poly_id"]]
+            yield out
+
+    return cand.mapInPandas(refine, schema=refine_schema).withColumn(
+        id_col, F.col(id_col).cast("string")
+    )
+
+
+# ---------------------------------------------------------------------------
+# kNN
+# ---------------------------------------------------------------------------
+
+
+def knn_join(
+    queries: DataFrame,
+    points: DataFrame,
+    k_col: str = "k",
+    level: int = 7,
+    ring: int = 2,
+    qid_col: str = "qid",
+    pid_col: str = "pid",
+) -> DataFrame:
+    """Exact k-nearest-neighbors → (qid, pid, dist_km, rank).
+
+    queries: (qid, lon, lat, k); points: (pid, lon, lat).
+
+    Phase 1: cell-ring candidate join at ``level`` (ring r ⇒ (2r+1)² cells),
+    haversine, windowed top-k. A query is *resolved* iff it found ≥ k
+    candidates and its kth distance < r × cell_size_km(lat) — every
+    unsearched point is provably farther. Phase 2: unresolved queries
+    (rare; hotspot-dependent) take an exact pass, broadcast against all
+    points. Both phases are pure DataFrame ops.
+    """
+    n = 2**level
+    pts = points.select(
+        F.col(pid_col),
+        F.col("lon").alias("p_lon"),
+        F.col("lat").alias("p_lat"),
+        TM.lon_to_tile_x(F.col("lon"), level).alias("cx"),
+        TM.lat_to_tile_y(F.col("lat"), level).alias("cy"),
+    )
+    offs = F.sequence(F.lit(-ring), F.lit(ring))
+    q = queries.select(
+        qid_col,
+        "lon",
+        "lat",
+        k_col,
+        TM.lon_to_tile_x(F.col("lon"), level).alias("qcx"),
+        TM.lat_to_tile_y(F.col("lat"), level).alias("qcy"),
+    )
+    qcells = (
+        q.withColumn("dx", F.explode(offs))
+        .withColumn("dy", F.explode(offs))
+        .select(
+            qid_col,
+            "lon",
+            "lat",
+            k_col,
+            F.pmod(F.col("qcx") + F.col("dx"), F.lit(n)).cast("int").alias("cx"),
+            (F.col("qcy") + F.col("dy")).cast("int").alias("cy"),
+        )
+        .filter((F.col("cy") >= 0) & (F.col("cy") < n))
+    )
+    cand = qcells.join(pts, ["cx", "cy"], "inner").select(
+        qid_col,
+        k_col,
+        "lon",
+        "lat",
+        pid_col,
+        G.haversine_km(F.col("lon"), F.col("lat"), F.col("p_lon"), F.col("p_lat")).alias("dist_km"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.col("dist_km").asc(), F.col(pid_col).asc())
+    topk = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= F.col(k_col))
+
+    # resolution bound: cell size (km) at the query latitude, mercator-local
+    cell_km = F.lit(EARTH_CIRCUMFERENCE_KM) * F.cos(F.radians(F.col("lat"))) / F.lit(float(n))
+    per_q = topk.groupBy(qid_col).agg(
+        F.max("rank").alias("found"),
+        F.max("dist_km").alias("kth_dist"),
+        F.first(k_col).alias("_k"),
+        F.first("lat").alias("_lat"),
+    )
+    resolved_ids = per_q.filter(
+        (F.col("found") >= F.col("_k"))
+        & (
+            F.col("kth_dist")
+            < F.lit(float(ring))
+            * (F.lit(EARTH_CIRCUMFERENCE_KM) * F.cos(F.radians(F.col("_lat"))) / F.lit(float(n)))
+        )
+    ).select(qid_col)
+
+    resolved = topk.join(F.broadcast(resolved_ids), qid_col, "left_semi")
+    unresolved_q = queries.join(F.broadcast(resolved_ids), qid_col, "left_anti")
+
+    # exact fallback: broadcast the (rare) unresolved queries against all points
+    fb_cand = points.select(
+        F.col(pid_col), F.col("lon").alias("p_lon"), F.col("lat").alias("p_lat")
+    ).crossJoin(F.broadcast(unresolved_q.select(qid_col, "lon", "lat", k_col)))
+    fb = (
+        fb_cand.select(
+            qid_col,
+            k_col,
+            pid_col,
+            G.haversine_km(F.col("lon"), F.col("lat"), F.col("p_lon"), F.col("p_lat")).alias("dist_km"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.col(k_col))
+    )
+    return resolved.select(qid_col, pid_col, "dist_km", "rank").unionByName(
+        fb.select(qid_col, pid_col, "dist_km", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# raster ↔ vector quadkey join
+# ---------------------------------------------------------------------------
+
+
+def quadkey_ancestor_join(
+    points: DataFrame, raster: DataFrame, max_z: int, id_col: str = "pid"
+) -> DataFrame:
+    """Assign each point to every raster pyramid tile containing it.
+
+    Semantically the quadkey range join of FIXTURES.md §5 — point's max-zoom
+    quadkey ∈ [qk_min, qk_max) — but linearized into an **equi-join** on
+    (z, x, y) by exploding each point into its max_z+1 ancestor tiles
+    (integer right-shifts). Hash join + AQE instead of a nested-loop range
+    join; at 100 TB this is the difference between feasible and not.
+    """
+    xz = TM.lon_to_tile_x(F.col("lon"), max_z)
+    yz = TM.lat_to_tile_y(F.col("lat"), max_z)
+    ancestors = F.array(
+        *[
+            F.struct(
+                F.lit(z).alias("z"),
+                F.shiftrightunsigned(xz, max_z - z).cast("int").alias("x"),
+                F.shiftrightunsigned(yz, max_z - z).cast("int").alias("y"),
+            )
+            for z in range(max_z + 1)
+        ]
+    )
+    pts = points.select(F.col(id_col), F.explode(ancestors).alias("a")).select(
+        id_col, F.col("a.z").alias("z"), F.col("a.x").alias("x"), F.col("a.y").alias("y")
+    )
+    return pts.join(raster, ["z", "x", "y"], "inner")
+
+
+def quadkey_range_join(points: DataFrame, raster: DataFrame, max_zoom: int = TM.MAX_ZOOM, id_col: str = "pid") -> DataFrame:
+    """Literal range-join variant for irregular [qk_min, qk_max) sets.
+
+    Kept for generality; prefer quadkey_ancestor_join for pyramid rasters.
+    """
+    qk = TM.quadkey_num(
+        TM.lon_to_tile_x(F.col("lon"), max_zoom), TM.lat_to_tile_y(F.col("lat"), max_zoom), max_zoom
+    )
+    pts = points.select(F.col(id_col), qk.alias("qk"))
+    return pts.join(raster, (F.col("qk") >= F.col("qk_min")) & (F.col("qk") < F.col("qk_max")))

@@ -59,8 +59,9 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
 
 
 def _h(seed: int, ids: np.ndarray, tag: int) -> np.ndarray:
-    base = ids.astype(U64) ^ (U64(seed) * U64(0x9E3779B97F4A7C15)) ^ (U64(tag) * U64(0xD1B54A32D192ED03))
-    return _splitmix64(base)
+    mask = (1 << 64) - 1
+    mix = ((seed * 0x9E3779B97F4A7C15) ^ (tag * 0xD1B54A32D192ED03)) & mask
+    return _splitmix64(ids.astype(U64) ^ U64(mix))
 
 
 def _uniform(seed: int, ids: np.ndarray, tag: int) -> np.ndarray:

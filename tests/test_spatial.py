@@ -1,0 +1,130 @@
+"""Spatial join correctness vs independent brute-force numpy oracles.
+
+Models the reference's round-trip compare strategy (TestUtils.java:97-233):
+engine output is joined against an exhaustively-computed expectation and
+must match exactly.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from maplibre_tile_spec_spark.functions import geom as G
+from maplibre_tile_spec_spark.functions import wkt as W
+from maplibre_tile_spec_spark.operators import spatial as S
+from maplibre_tile_spec_spark.sources import synth
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    # deterministic scatter incl. hotspot cluster (skew)
+    ids = np.arange(400)
+    lon, lat = synth._centers(42, ids, 77)
+    rows = [(f"p-{i:04d}", float(x), float(y)) for i, x, y in zip(ids, lon, lat)]
+    return spark.createDataFrame(rows, "pid string, lon double, lat double").cache()
+
+
+@pytest.fixture(scope="module")
+def polys(spark):
+    return synth.synthesize_polygons(spark, 30, seed=42).cache()
+
+
+class TestRayCast:
+    def test_square_with_hole(self):
+        outer = np.array([(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)], dtype=float)
+        hole = np.array([(4, 4), (6, 4), (6, 6), (4, 6), (4, 4)], dtype=float)
+        px = np.array([5.0, 1.0, 11.0, 5.0])
+        py = np.array([5.0, 1.0, 5.0, 3.0])
+        got = G.points_in_polygon(px, py, [outer, hole])
+        assert got.tolist() == [False, True, False, True]  # hole, inside, outside, inside
+
+    def test_concave(self):
+        # arrow-head concave polygon
+        ring = np.array([(0, 0), (4, 0), (4, 4), (2, 1.5), (0, 4), (0, 0)], dtype=float)
+        px = np.array([2.0, 2.0, 1.0])
+        py = np.array([3.0, 1.0, 1.0])
+        got = G.points_in_ring(px, py, ring)
+        assert got.tolist() == [False, True, True]
+
+
+class TestPipJoin:
+    def test_matches_bruteforce(self, spark, points, polys):
+        got = {
+            (r.pid, r.poly_id)
+            for r in S.pip_join(points, polys).collect()
+        }
+        pts = points.collect()
+        px = np.array([r.lon for r in pts])
+        py = np.array([r.lat for r in pts])
+        pid = [r.pid for r in pts]
+        expected = set()
+        for prow in polys.collect():
+            _, coords, structure = W.parse_wkt(prow.geom_wkt)
+            rings, i = [], 0
+            for part in structure:
+                for nv in part:
+                    rings.append(coords[i : i + nv])
+                    i += nv
+            inside = G.points_in_polygon(px, py, rings)
+            for j in np.flatnonzero(inside):
+                expected.add((pid[j], prow.poly_id))
+        assert got == expected
+        assert len(expected) > 20  # incl. hotspot giants catching clustered points
+
+    def test_cover_is_superset(self, spark, points, polys):
+        # every true containment pair must appear among the cover candidates
+        cover = S.polygon_cover(polys)
+        levels = {r.level for r in cover.select("level").distinct().collect()}
+        assert levels <= {4, 6, 8, 10, 12}
+
+
+class TestKnnJoin:
+    def _brute(self, qrows, prows):
+        expected = {}
+        plon = np.array([r.lon for r in prows])
+        plat = np.array([r.lat for r in prows])
+        pid = [r.pid for r in prows]
+        for q in qrows:
+            d = G.np_haversine_km(q.lon, q.lat, plon, plat)
+            order = sorted(range(len(pid)), key=lambda i: (d[i], pid[i]))
+            expected[q.qid] = [pid[i] for i in order[: q.k]]
+        return expected
+
+    def test_matches_bruteforce(self, spark, points):
+        queries = synth.synthesize_knn_queries(spark, 40, seed=42).cache()
+        got_rows = S.knn_join(queries, points).collect()
+        got = {}
+        for r in sorted(got_rows, key=lambda r: (r.qid, r.rank)):
+            got.setdefault(r.qid, []).append(r.pid)
+        expected = self._brute(queries.collect(), points.collect())
+        assert set(got) == set(expected)
+        for qid in expected:
+            assert got[qid] == expected[qid], f"mismatch for {qid}"
+
+    def test_k_larger_than_candidates_resolved_by_fallback(self, spark, points):
+        queries = spark.createDataFrame(
+            [("q-big", -100.0, 40.0, 399)], "qid string, lon double, lat double, k int"
+        )
+        got = S.knn_join(queries, points).collect()
+        assert len(got) == 399
+        expected = self._brute(queries.collect(), points.collect())
+        assert [r.pid for r in sorted(got, key=lambda r: r.rank)] == expected["q-big"]
+
+
+class TestQuadkeyJoin:
+    def test_ancestor_join_matches_range_join(self, spark, points):
+        raster = synth.synthesize_raster_tiles(spark, max_z=6, seed=42).cache()
+        a = S.quadkey_ancestor_join(points, raster, max_z=6)
+        b = S.quadkey_range_join(points, raster, max_zoom=synth.TM.MAX_ZOOM)
+        got_a = {(r.pid, r.z, r.x, r.y) for r in a.collect()}
+        got_b = {(r.pid, r.z, r.x, r.y) for r in b.collect()}
+        assert got_a == got_b
+        # every point inside the bbox pyramid hits one tile per level
+        n_pts_in = points.filter(
+            (F.col("lon") >= synth.BBOX[0]) & (F.col("lon") <= synth.BBOX[2])
+            & (F.col("lat") >= synth.BBOX[1]) & (F.col("lat") <= synth.BBOX[3])
+        ).count()
+        per_level = {}
+        for pid, z, x, y in got_a:
+            per_level.setdefault(z, set()).add(pid)
+        assert len(per_level[0]) >= n_pts_in
