@@ -69,6 +69,7 @@ def pip_join(
     points: DataFrame,
     polys: DataFrame,
     id_col: str = "pid",
+    id_type: str = "string",
     levels: tuple[int, ...] = (4, 6, 8, 10, 12),
     broadcast_polys: bool = True,
 ) -> DataFrame:
@@ -102,7 +103,7 @@ def pip_join(
     polys_b = F.broadcast(polys) if broadcast_polys else polys
     cand = candidates.join(polys_b, "poly_id", "inner")
 
-    refine_schema = f"{id_col} string, poly_id string"
+    refine_schema = f"{id_col} {id_type}, poly_id string"
 
     def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -122,9 +123,7 @@ def pip_join(
             out = pdf.loc[keep, [id_col, "poly_id"]]
             yield out
 
-    return cand.mapInPandas(refine, schema=refine_schema).withColumn(
-        id_col, F.col(id_col).cast("string")
-    )
+    return cand.mapInPandas(refine, schema=refine_schema)
 
 
 # ---------------------------------------------------------------------------

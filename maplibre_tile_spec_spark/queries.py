@@ -1,0 +1,581 @@
+"""Oracle-checked query registry (the driver-contract surface).
+
+Every entry pairs a Spark DataFrame plan with a semantically identical
+DuckDB SQL string over the same parquet tables. The pairs are engineered
+for *exact* value-hash equality:
+
+* shared derivations (synthetic lon/lat from integer keys) use only integer
+  arithmetic and IEEE-exact double ops, written identically on both sides;
+* fp-sum aggregates are converted to exact integer (cents) sums;
+* every output column is explicitly cast to a stable type and identically
+  aliased on both sides (the driver sorts columns by name before hashing);
+* rank orderings always carry a deterministic integer tie-break.
+
+Spatial queries use fixed literal polygon/query-point sets (module
+constants) so the DuckDB oracle can embed them as VALUES lists.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from maplibre_tile_spec_spark.functions import geom as G
+from maplibre_tile_spec_spark.functions import tilemath as TM
+from maplibre_tile_spec_spark.operators import spatial as S
+from maplibre_tile_spec_spark.sources import synth, tables
+
+# ---------------------------------------------------------------------------
+# shared literal fixtures
+# ---------------------------------------------------------------------------
+
+# (poly_id, rings) — ring = closed list of (lon, lat); first ring outer, rest holes
+PIP_POLYGONS: list[tuple[str, list[list[tuple[float, float]]]]] = [
+    (
+        "poly-east",
+        [[(-80.3, 25.7), (-71.9, 26.7), (-69.2, 41.1), (-79.8, 43.2), (-80.3, 25.7)]],
+    ),
+    (
+        "poly-west",
+        [[(-124.2, 32.5), (-114.1, 31.9), (-113.6, 42.1), (-124.7, 42.8), (-124.2, 32.5)]],
+    ),
+    (
+        "poly-mid-hole",
+        [
+            [(-105.3, 30.2), (-92.1, 29.8), (-91.4, 44.6), (-106.2, 45.1), (-105.3, 30.2)],
+            [(-101.2, 35.3), (-96.4, 35.1), (-96.1, 40.2), (-100.8, 40.6), (-101.2, 35.3)],
+        ],
+    ),
+    (
+        "poly-northeast-tri",
+        [[(-79.1, 40.3), (-70.4, 40.9), (-74.6, 47.2), (-79.1, 40.3)]],
+    ),
+]
+
+KNN_QUERIES: list[tuple[str, float, float, int]] = [
+    ("q-nyc", -74.006, 40.713, 5),
+    ("q-la", -118.244, 34.052, 5),
+    ("q-chi", -87.630, 41.878, 10),
+    ("q-mia", -80.192, 25.762, 1),
+    ("q-sea", -122.332, 47.606, 5),
+    ("q-den", -104.990, 39.739, 10),
+    ("q-dal", -96.797, 32.777, 1),
+    ("q-dc", -77.037, 38.907, 5),
+]
+
+PYRAMID_MAX_Z = 6
+
+
+def _polys_wkt() -> list[tuple[str, str]]:
+    out = []
+    for pid, rings in PIP_POLYGONS:
+        body = ", ".join("(" + ", ".join(f"{x} {y}" for x, y in ring) + ")" for ring in rings)
+        out.append((pid, f"POLYGON ({body})"))
+    return out
+
+
+def _poly_edges_values() -> str:
+    """VALUES list of polygon edges for the SQL ray-cast oracle."""
+    rows = []
+    for pid, rings in PIP_POLYGONS:
+        for ring in rings:
+            for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:]):
+                rows.append(f"('{pid}', {x1}, {y1}, {x2}, {y2})")
+    return ",\n    ".join(rows)
+
+
+def _knn_queries_values() -> str:
+    return ",\n    ".join(f"('{q}', {lon}, {lat}, {k})" for q, lon, lat, k in KNN_QUERIES)
+
+
+# ---------------------------------------------------------------------------
+# shared derivation: synthetic points from the events table
+# ---------------------------------------------------------------------------
+
+_PTS_SQL = """
+SELECT event_id AS pid,
+       -125.0 + (event_id * 2654435761 % 1000000) / 1000000.0 * 59.0 AS lon,
+       24.0 + ((event_id * 40503 + 7) % 1000000) / 1000000.0 * 25.0 AS lat
+FROM events
+"""
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").alias("pid"),
+        (F.lit(-125.0) + (F.col("event_id") * 2654435761 % 1000000) / 1000000.0 * 59.0).alias("lon"),
+        (F.lit(24.0) + ((F.col("event_id") * 40503 + 7) % 1000000) / 1000000.0 * 25.0).alias("lat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point → z12 slippy tile, count per tile (the engine's core scan+agg)."""
+    z = 12
+    pts = _points(spark, sf_dir)
+    return (
+        pts.select(
+            TM.lon_to_tile_x(F.col("lon"), z).cast("long").alias("x"),
+            TM.lat_to_tile_y(F.col("lat"), z).cast("long").alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("n_points"))
+    )
+
+
+def _sql_tile_assign() -> str:
+    return f"""
+WITH pts AS ({_PTS_SQL})
+SELECT {TM.tile_x_sql('lon', 12)} AS x, {TM.tile_y_sql('lat', 12)} AS y,
+       count(*) AS n_points
+FROM pts GROUP BY 1, 2
+"""
+
+
+def q_tile_pyramid_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile counts rolled up the pyramid (z12 → z8 → z4) via ancestor shifts."""
+    base = q_tile_assign(spark, sf_dir)
+    parts = []
+    for z in (4, 8, 12):
+        sh = 12 - z
+        parts.append(
+            base.groupBy(
+                F.shiftrightunsigned(F.col("x"), sh).cast("long").alias("x"),
+                F.shiftrightunsigned(F.col("y"), sh).cast("long").alias("y"),
+            )
+            .agg(F.sum("n_points").alias("n_points"))
+            .select(F.lit(z).cast("long").alias("z"), "x", "y", "n_points")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _sql_tile_pyramid_rollup() -> str:
+    selects = []
+    for z in (4, 8, 12):
+        div = 2 ** (12 - z)
+        selects.append(
+            f"""SELECT CAST({z} AS BIGINT) AS z, x // {div} AS x, y // {div} AS y, CAST(sum(n_points) AS BIGINT) AS n_points
+FROM base GROUP BY 1, 2, 3"""
+        )
+    u = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH pts AS ({_PTS_SQL}),
+base AS (
+  SELECT {TM.tile_x_sql('lon', 12)} AS x, {TM.tile_y_sql('lat', 12)} AS y,
+         count(*) AS n_points
+  FROM pts GROUP BY 1, 2
+)
+{u}
+"""
+
+
+def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact point-in-polygon join against the literal polygon fixtures."""
+    pts = _points(spark, sf_dir)
+    polys = spark.createDataFrame(_polys_wkt(), "poly_id string, geom_wkt string")
+    return S.pip_join(pts, polys, id_col="pid", id_type="long").select(
+        F.col("pid").cast("long").alias("pid"), "poly_id"
+    )
+
+
+def _sql_pip_join() -> str:
+    cond = G.pip_oracle_sql_condition("p.lon", "p.lat")
+    return f"""
+WITH pts AS ({_PTS_SQL}),
+edges(poly_id, x1, y1, x2, y2) AS (VALUES
+    {_poly_edges_values()}
+)
+SELECT p.pid AS pid, e.poly_id AS poly_id
+FROM pts p CROSS JOIN edges e
+GROUP BY p.pid, e.poly_id, p.lon, p.lat
+HAVING sum(CASE WHEN {cond} THEN 1 ELSE 0 END) % 2 = 1
+"""
+
+
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact kNN of the literal query set against the derived points."""
+    pts = _points(spark, sf_dir)
+    qdf = spark.createDataFrame(KNN_QUERIES, "qid string, lon double, lat double, k int")
+    out = S.knn_join(qdf, pts, level=7, ring=2)
+    return out.select(
+        "qid", F.col("pid").cast("long").alias("pid"), F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _sql_knn_join() -> str:
+    dist = G.haversine_sql("q.lon", "q.lat", "p.lon", "p.lat")
+    return f"""
+WITH pts AS ({_PTS_SQL}),
+queries(qid, lon, lat, k) AS (VALUES
+    {_knn_queries_values()}
+),
+ranked AS (
+  SELECT q.qid, p.pid, q.k,
+         row_number() OVER (PARTITION BY q.qid ORDER BY {dist} ASC, p.pid ASC) AS rank
+  FROM queries q CROSS JOIN pts p
+)
+SELECT qid, pid, rank FROM ranked WHERE rank <= k
+"""
+
+
+def q_quadkey_pyramid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster↔vector assignment: each point joined to every bbox-pyramid
+    tile containing it (quadkey ranges linearized to ancestor equi-join)."""
+    pts = _points(spark, sf_dir)
+    raster = synth.synthesize_raster_tiles(spark, max_z=PYRAMID_MAX_Z, seed=42)
+    out = S.quadkey_ancestor_join(pts, raster, max_z=PYRAMID_MAX_Z, id_col="pid")
+    return out.select(
+        F.col("pid").cast("long").alias("pid"),
+        F.col("z").cast("long").alias("z"),
+        F.col("x").cast("long").alias("x"),
+        F.col("y").cast("long").alias("y"),
+    )
+
+
+def _sql_quadkey_pyramid_join() -> str:
+    selects = []
+    for z, x0, x1, y0, y1 in synth.pyramid_ranges(PYRAMID_MAX_Z):
+        div = 2 ** (PYRAMID_MAX_Z - z)
+        selects.append(
+            f"""SELECT pid, CAST({z} AS BIGINT) AS z, xz // {div} AS x, yz // {div} AS y
+FROM base WHERE xz // {div} BETWEEN {x0} AND {x1} AND yz // {div} BETWEEN {y0} AND {y1}"""
+        )
+    u = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH pts AS ({_PTS_SQL}),
+base AS (
+  SELECT pid, {TM.tile_x_sql('lon', PYRAMID_MAX_Z)} AS xz, {TM.tile_y_sql('lat', PYRAMID_MAX_Z)} AS yz
+  FROM pts
+)
+{u}
+"""
+
+
+def q_zigzag_delta_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MLT integer stream encoding as a window: per-supplier delta of
+    orderkeys (order-sensitive) then zigzag — SURVEY.md §2.5."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy("l_orderkey", "l_linenumber")
+    delta = F.col("l_orderkey") - F.lag("l_orderkey", 1, 0).over(w)
+    zz = F.when(delta >= 0, 2 * delta).otherwise(-2 * delta - 1)
+    return li.select(
+        F.col("l_suppkey").cast("long").alias("l_suppkey"),
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        zz.cast("long").alias("zz_delta"),
+    )
+
+
+def _sql_zigzag_delta_stream() -> str:
+    return """
+SELECT l_suppkey,
+       l_orderkey,
+       CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       CASE WHEN d >= 0 THEN 2 * d ELSE -2 * d - 1 END AS zz_delta
+FROM (
+  SELECT l_suppkey, l_orderkey, l_linenumber,
+         l_orderkey - lag(l_orderkey, 1, 0)
+           OVER (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber) AS d
+  FROM lineitem
+)
+"""
+
+
+def q_rle_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encoding of the event_type stream ordered by event_id
+    (EncodingUtils.encodeRle semantics as a window + group-by)."""
+    ev = tables.load(spark, sf_dir, "events")
+    w = Window.orderBy("event_id")
+    chg = F.when(
+        F.lag("event_type", 1).over(w).isNull()
+        | (F.lag("event_type", 1).over(w) != F.col("event_type")),
+        1,
+    ).otherwise(0)
+    run_id = F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        ev.select(F.col("event_type"), run_id.alias("run_id"))
+        .groupBy("run_id", "event_type")
+        .agg(F.count("*").alias("run_len"))
+        .select(F.col("run_id").cast("long"), "event_type", F.col("run_len").cast("long"))
+    )
+
+
+def _sql_rle_runs() -> str:
+    return """
+WITH flagged AS (
+  SELECT event_type,
+         CASE WHEN lag(event_type) OVER (ORDER BY event_id) IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg,
+         event_id
+  FROM events
+),
+runs AS (
+  SELECT event_type,
+         sum(chg) OVER (ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM flagged
+)
+SELECT CAST(run_id AS BIGINT) AS run_id, event_type, count(*) AS run_len
+FROM runs GROUP BY run_id, event_type
+"""
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary, exact integer-cents arithmetic."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    charge_c = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")) * 100
+    ).cast("long")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(price_c).alias("sum_base_price_cents"),
+            F.sum(disc_c).alias("sum_disc_price_cents"),
+            F.sum(charge_c).alias("sum_charge_cents"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _sql_tpch_q1() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by total price per customer (windowed top-k)."""
+    o = tables.load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("o_custkey").cast("long"),
+            F.col("o_orderkey").cast("long"),
+            F.col("rnk").cast("long"),
+        )
+    )
+
+
+def _sql_top_orders_per_customer() -> str:
+    return """
+SELECT o_custkey, o_orderkey, rnk
+FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders
+)
+WHERE rnk <= 3
+"""
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way broadcast join: lineitem ⋈ supplier ⋈ nation, revenue in cents."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    sup = tables.load(spark, sf_dir, "supplier")
+    nat = tables.load(spark, sf_dir, "nation")
+    rev_c = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev_c).alias("revenue_cents"), F.count("*").alias("n_items"))
+    )
+
+
+def _sql_revenue_by_nation() -> str:
+    return """
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       count(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup: md5 hash-group, keep min doc_id as representative."""
+    d = tables.load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(F.min("doc_id").alias("rep_doc_id"), F.count("*").alias("n_copies"))
+        .select("text_hash", F.col("rep_doc_id").cast("long"), F.col("n_copies").cast("long"))
+    )
+
+
+def _sql_dedup_exact() -> str:
+    return """
+SELECT md5(text) AS text_hash, min(doc_id) AS rep_doc_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token count + punctuation count (quality-scoring base)."""
+    d = tables.load(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), "\\s+"))
+    punct = F.length(F.col("text")) - F.length(F.regexp_replace(F.col("text"), "[.,!?;:]", ""))
+    return d.select(
+        F.col("doc_id").cast("long"),
+        toks.cast("long").alias("n_tokens"),
+        punct.cast("long").alias("n_punct"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    )
+
+
+def _sql_text_stats() -> str:
+    return r"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+       length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+       length(text) AS n_chars_actual
+FROM documents
+"""
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for the first 20 vectors."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb"))
+    pairs = c.crossJoin(F.broadcast(q)).filter(F.col("qid") != F.col("cid"))
+    dbl = lambda col: F.transform(col, lambda x: x.cast("double"))  # noqa: E731
+    dot = F.aggregate(
+        F.zip_with(dbl(F.col("q_emb")), dbl(F.col("c_emb")), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nq = F.aggregate(dbl(F.col("q_emb")), F.lit(0.0), lambda acc, x: acc + x * x)
+    nc = F.aggregate(dbl(F.col("c_emb")), F.lit(0.0), lambda acc, x: acc + x * x)
+    cos = dot / (F.sqrt(nq) * F.sqrt(nc))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    return (
+        pairs.select("qid", "cid", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            F.col("qid").cast("long"),
+            F.col("cid").cast("long"),
+            F.col("rank").cast("long"),
+        )
+    )
+
+
+def _sql_cosine_topk() -> str:
+    return """
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c_emb FROM embeddings),
+scored AS (
+  SELECT q.qid, c.cid,
+         list_dot_product(q.q_emb, c.c_emb)
+           / (sqrt(list_dot_product(q.q_emb, q.q_emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))) AS cos
+  FROM q CROSS JOIN c WHERE q.qid != c.cid
+)
+SELECT qid, cid, rank
+FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank FROM scored)
+WHERE rank <= 5
+"""
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user session ids from >30-minute gaps (lag + cumsum)."""
+    ev = tables.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess_id = F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        ev.select("user_id", "event_id", sess_id.alias("session_id"))
+        .groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"), F.min("event_id").alias("first_event"))
+        .select(
+            F.col("user_id").cast("long"),
+            F.col("session_id").cast("long"),
+            F.col("n_events").cast("long"),
+            F.col("first_event").cast("long"),
+        )
+    )
+
+
+def _sql_sessionize_events() -> str:
+    return """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+s AS (
+  SELECT user_id, event_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events, min(event_id) AS first_event
+FROM s GROUP BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "tile_assign": q_tile_assign,
+    "tile_pyramid_rollup": q_tile_pyramid_rollup,
+    "pip_join": q_pip_join,
+    "knn_join": q_knn_join,
+    "quadkey_pyramid_join": q_quadkey_pyramid_join,
+    "zigzag_delta_stream": q_zigzag_delta_stream,
+    "rle_runs": q_rle_runs,
+    "tpch_q1": q_tpch_q1,
+    "top_orders_per_customer": q_top_orders_per_customer,
+    "revenue_by_nation": q_revenue_by_nation,
+    "dedup_exact": q_dedup_exact,
+    "text_stats": q_text_stats,
+    "cosine_topk": q_cosine_topk,
+    "sessionize_events": q_sessionize_events,
+}
+
+ORACLES: dict[str, str] = {
+    "tile_assign": _sql_tile_assign(),
+    "tile_pyramid_rollup": _sql_tile_pyramid_rollup(),
+    "pip_join": _sql_pip_join(),
+    "knn_join": _sql_knn_join(),
+    "quadkey_pyramid_join": _sql_quadkey_pyramid_join(),
+    "zigzag_delta_stream": _sql_zigzag_delta_stream(),
+    "rle_runs": _sql_rle_runs(),
+    "tpch_q1": _sql_tpch_q1(),
+    "top_orders_per_customer": _sql_top_orders_per_customer(),
+    "revenue_by_nation": _sql_revenue_by_nation(),
+    "dedup_exact": _sql_dedup_exact(),
+    "text_stats": _sql_text_stats(),
+    "cosine_topk": _sql_cosine_topk(),
+    "sessionize_events": _sql_sessionize_events(),
+}

@@ -269,23 +269,31 @@ def synthesize_knn_queries(spark: SparkSession, n_queries: int = 100, seed: int 
 # ---------------------------------------------------------------------------
 
 
-def synthesize_raster_tiles(spark: SparkSession, max_z: int = 8, seed: int = 42) -> DataFrame:
-    """Full pyramid z0..max_z restricted to the test bbox, with numeric
-    quadkey ranges for the range join and hash-derived band stats."""
-    parts = []
+def pyramid_ranges(max_z: int) -> list[tuple[int, int, int, int, int]]:
+    """Inclusive tile ranges (z, x0, x1, y0, y1) of the bbox pyramid —
+    shared by the synthesizer and by the DuckDB oracle SQL builder."""
+    import math
+
+    out = []
     for z in range(max_z + 1):
         n = 2**z
-        # bbox tile range at this zoom (inclusive)
         x0 = int((BBOX[0] + 180.0) / 360.0 * n)
         x1 = int((BBOX[2] + 180.0) / 360.0 * n)
-        import math
 
         def lat_y(lat: float) -> int:
             rad = math.radians(lat)
             y = int((1.0 - math.log(math.tan(rad) + 1.0 / math.cos(rad)) / math.pi) / 2.0 * n)
             return max(0, min(y, n - 1))
 
-        y0, y1 = lat_y(BBOX[3]), lat_y(BBOX[1])
+        out.append((z, x0, x1, lat_y(BBOX[3]), lat_y(BBOX[1])))
+    return out
+
+
+def synthesize_raster_tiles(spark: SparkSession, max_z: int = 8, seed: int = 42) -> DataFrame:
+    """Full pyramid z0..max_z restricted to the test bbox, with numeric
+    quadkey ranges for the range join and hash-derived band stats."""
+    parts = []
+    for z, x0, x1, y0, y1 in pyramid_ranges(max_z):
         w = x1 - x0 + 1
         h = y1 - y0 + 1
         grid = (
