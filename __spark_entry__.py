@@ -32,28 +32,21 @@ def entry(spark: SparkSession) -> DataFrame:
     from pyspark.sql import functions as F
 
     from maplibre_tile_spec_spark import queries as Q
-    from maplibre_tile_spec_spark.functions import tilemath as TM
     from maplibre_tile_spec_spark.operators import features as FE
-    from maplibre_tile_spec_spark.operators import spatial as S
+    from maplibre_tile_spec_spark.operators import tiler
     from maplibre_tile_spec_spark.sources import synth
 
-    # interleaved documents (mandated input shape) → geometry features
+    # interleaved documents (mandated input shape) → geometry features →
+    # real MLT tiles via groupBy(x,y).applyInPandas
     docs = synth.synthesize_documents(spark, 2000, seed=42)
     feats = FE.extract_features(docs)
-    z = 10
-    tiled = feats.select(
-        TM.lon_to_tile_x(F.col("rep_lon"), z).alias("x"),
-        TM.lat_to_tile_y(F.col("rep_lat"), z).alias("y"),
-        "geom_type",
-    )
-    tile_summary = tiled.groupBy("x", "y").agg(
-        F.count("*").alias("n_features"),
-        F.countDistinct("geom_type").alias("n_geom_types"),
+    tiles = tiler.encode_tiles(feats, zoom=8).select(
+        "z", "x", "y", "n_features", "n_vertices", "byte_size"
     )
     # spatial join leg on the testdata-derived points
     pip = Q.q_pip_join(spark, SF0001)
-    pip_counts = pip.groupBy("poly_id").agg(F.count("*").alias("n_points_inside"))
-    return tile_summary.crossJoin(F.broadcast(pip_counts.agg(F.sum("n_points_inside").alias("pip_total"))))
+    pip_counts = pip.groupBy().agg(F.count("*").alias("pip_total"))
+    return tiles.crossJoin(F.broadcast(pip_counts))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

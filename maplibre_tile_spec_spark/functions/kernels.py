@@ -56,14 +56,24 @@ def zigzag_decode(values: np.ndarray, bits: int = 32) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def delta_encode(values: np.ndarray) -> np.ndarray:
-    """d[i] = v[i] - v[i-1] with v[-1] = 0 (reference EncodingUtils.encodeDeltas)."""
+def wrap32(a: np.ndarray) -> np.ndarray:
+    """Wrap int64 values into int32 two's-complement (Java int semantics)."""
+    return ((a.astype(np.int64) + np.int64(2**31)) % np.int64(2**32)) - np.int64(2**31)
+
+
+def delta_encode(values: np.ndarray, bits: int = 64) -> np.ndarray:
+    """d[i] = v[i] - v[i-1] with v[-1] = 0 (reference EncodingUtils.encodeDeltas).
+
+    bits=32 wraps like Java int arithmetic (deltas of extreme int32 values
+    overflow and must wrap identically on both sides)."""
     v = values.astype(np.int64)
-    return np.diff(v, prepend=np.int64(0))
+    d = np.diff(v, prepend=np.int64(0))
+    return wrap32(d) if bits == 32 else d
 
 
-def delta_decode(deltas: np.ndarray) -> np.ndarray:
-    return np.cumsum(deltas.astype(np.int64))
+def delta_decode(deltas: np.ndarray, bits: int = 64) -> np.ndarray:
+    s = np.cumsum(deltas.astype(np.int64))
+    return wrap32(s) if bits == 32 else s
 
 
 # ---------------------------------------------------------------------------
@@ -243,7 +253,7 @@ def encode_int_stream(values: np.ndarray, signed: bool, bits: int = 32) -> IntSt
     """
     v = values.astype(np.int64)
     n = v.shape[0]
-    deltas = delta_encode(v)
+    deltas = delta_encode(v, bits=bits)
 
     def as_unsigned(a: np.ndarray, do_zigzag: bool) -> np.ndarray:
         if do_zigzag:
@@ -311,9 +321,9 @@ def decode_int_stream(
     if llt1 == LLT_DELTA and llt2 == LLT_RLE:
         runs = raw[:num_runs_meta].astype(np.int64)
         dvals = zigzag_decode(raw[num_runs_meta:], bits=bits).astype(np.int64)
-        return delta_decode(rle_decode(runs, dvals)), end
+        return delta_decode(rle_decode(runs, dvals), bits=bits), end
     if llt1 == LLT_DELTA:
-        return delta_decode(zigzag_decode(raw, bits=bits)), end
+        return delta_decode(zigzag_decode(raw, bits=bits), bits=bits), end
     if signed:
         return zigzag_decode(raw, bits=bits).astype(np.int64), end
     if bits == 32:
@@ -474,10 +484,12 @@ def unpack_stream_metadata(buf: bytes, offset: int) -> tuple[dict, int]:
     }
     vals, pos = varint_decode(buf, 2, offset + 2)
     meta["num_values"], meta["byte_length"] = int(vals[0]), int(vals[1])
-    if meta["llt1"] == LLT_RLE or meta["llt2"] == LLT_RLE:
-        vals, pos = varint_decode(buf, 2, pos)
-        meta["runs"], meta["num_rle_values"] = int(vals[0]), int(vals[1])
-    if meta["llt1"] == LLT_MORTON or meta["llt2"] == LLT_MORTON:
+    # dispatch per StreamMetadataDecoder.java: MORTON first; RLE extras only
+    # when a physical technique is present (boolean RLE has plt=NONE, no extras)
+    if meta["llt1"] == LLT_MORTON:
         vals, pos = varint_decode(buf, 2, pos)
         meta["num_bits"], meta["coordinate_shift"] = int(vals[0]), int(vals[1])
+    elif (meta["llt1"] == LLT_RLE or meta["llt2"] == LLT_RLE) and meta["plt"] != PLT_NONE:
+        vals, pos = varint_decode(buf, 2, pos)
+        meta["runs"], meta["num_rle_values"] = int(vals[0]), int(vals[1])
     return meta, pos

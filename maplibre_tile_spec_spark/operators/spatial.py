@@ -84,21 +84,26 @@ def pip_join(
     if broadcast_polys:
         cover = F.broadcast(cover)
 
-    candidates = None
-    for level in sorted(set(levels)):
-        pc = points.select(
-            F.col(id_col),
-            F.col("lon"),
-            F.col("lat"),
-            TM.lon_to_tile_x(F.col("lon"), level).alias("cx"),
-            TM.lat_to_tile_y(F.col("lat"), level).alias("cy"),
-        )
-        cands_l = pc.join(
-            cover.filter(F.col("level") == level).select("poly_id", "cx", "cy"),
-            ["cx", "cy"],
-            "inner",
-        ).select(id_col, "lon", "lat", "poly_id")
-        candidates = cands_l if candidates is None else candidates.unionByName(cands_l)
+    # one scan, one hash join: compute the finest-level cell once, derive each
+    # coarser level's cell by a right-shift, explode (level, cx, cy) structs
+    lv = sorted(set(levels))
+    finest = lv[-1]
+    px = TM.lon_to_tile_x(F.col("lon"), finest)
+    py = TM.lat_to_tile_y(F.col("lat"), finest)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(level).alias("level"),
+                F.shiftrightunsigned(px, finest - level).cast("int").alias("cx"),
+                F.shiftrightunsigned(py, finest - level).cast("int").alias("cy"),
+            )
+            for level in lv
+        ]
+    )
+    pc = points.select(F.col(id_col), "lon", "lat", F.explode(cells).alias("c")).select(
+        id_col, "lon", "lat", F.col("c.level").alias("level"), F.col("c.cx").alias("cx"), F.col("c.cy").alias("cy")
+    )
+    candidates = pc.join(cover, ["level", "cx", "cy"], "inner").select(id_col, "lon", "lat", "poly_id")
 
     polys_b = F.broadcast(polys) if broadcast_polys else polys
     cand = candidates.join(polys_b, "poly_id", "inner")
@@ -190,7 +195,13 @@ def knn_join(
         G.haversine_km(F.col("lon"), F.col("lat"), F.col("p_lon"), F.col("p_lat")).alias("dist_km"),
     )
     w = Window.partitionBy(qid_col).orderBy(F.col("dist_km").asc(), F.col(pid_col).asc())
-    topk = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= F.col(k_col))
+    # persisted: referenced by the resolved branch, the resolution check, and
+    # (via anti-join) the fallback — without it the candidate join re-runs 3×
+    topk = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.col(k_col))
+        .persist()
+    )
 
     # resolution bound: cell size (km) at the query latitude, mercator-local
     cell_km = F.lit(EARTH_CIRCUMFERENCE_KM) * F.cos(F.radians(F.col("lat"))) / F.lit(float(n))

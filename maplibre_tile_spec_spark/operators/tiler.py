@@ -1,0 +1,213 @@
+"""Distributed MVT→MLT-style tiling: documents → MLT tiles.
+
+The reference encodes one tile per process iteration
+(java/mlt-cli/.../Encode.java:538-560); here the same per-tile computation is
+a ``groupBy(x, y).applyInPandas`` kernel running in parallel across
+executors, with **explicit salt fan-out for hot tiles**: dense urban tiles
+are split into ``n_salt`` sub-groups, each encoded as an independent
+FeatureTable block, and merged by byte concatenation — valid because MLT
+tiles are defined as concatenations of independently-decodable framed blocks
+(specification.md:38,92-99). AQE only splits join/aggregate shuffles, not a
+single giant applyInPandas group, so the salt is load-bearing at scale
+(SURVEY.md §7.3).
+
+Feature ids follow the reference's sort-and-regenerate strategy
+(MltConverter.java:548-611): features sorted by Hilbert index of their first
+vertex, ids reassigned 0..n-1 in final order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from maplibre_tile_spec_spark.functions import kernels as K
+from maplibre_tile_spec_spark.functions import mlt_codec as C
+from maplibre_tile_spec_spark.functions import tilemath as TM
+from maplibre_tile_spec_spark.functions import wkt as W
+
+TILE_SCHEMA = "x int, y int, n_features long, n_vertices long, part binary"
+
+
+def _features_to_geometry_column(
+    wkts: list[str], tile_x: int, tile_y: int, zoom: int, extent: int
+) -> tuple[C.GeometryColumn, np.ndarray]:
+    """Parse + quantize a tile group's features into the SoA topology.
+
+    Returns (geometry column, hilbert sort order applied to the input).
+    """
+    parsed = [W.parse_wkt(w) for w in wkts]
+    # sort by hilbert index of the quantized first vertex (reference sort)
+    first = np.array([[p[1][0, 0], p[1][0, 1]] for p in parsed])
+    qx, qy = TM.np_quantize_to_extent(
+        first[:, 0], first[:, 1], np.full(len(parsed), tile_x), np.full(len(parsed), tile_y), zoom, extent
+    )
+    order = np.argsort(K.hilbert_encode(qx, qy, order=12), kind="stable")
+
+    types, num_geoms, num_parts, num_rings, verts = [], [], [], [], []
+    contains_poly = any(p[0] in (W.GT_POLYGON, W.GT_MULTIPOLYGON) for p in parsed)
+    for i in order:
+        gt, coords, structure = parsed[i]
+        cqx, cqy = TM.np_quantize_to_extent(
+            coords[:, 0],
+            coords[:, 1],
+            np.full(coords.shape[0], tile_x),
+            np.full(coords.shape[0], tile_y),
+            zoom,
+            extent,
+        )
+        types.append(gt - 1)  # WKT codes 1-6 → MLT ordinals 0-5
+        ci = 0
+
+        def push(n: int, drop_close: bool) -> None:
+            nonlocal ci
+            take = n - 1 if (drop_close and n > 1) else n
+            verts.extend(np.column_stack([cqx[ci : ci + take], cqy[ci : ci + take]]).ravel().tolist())
+            ci += n
+
+        if gt == W.GT_POINT:
+            push(1, False)
+        elif gt == W.GT_MULTIPOINT:
+            num_geoms.append(coords.shape[0])
+            push(coords.shape[0], False)
+        elif gt == W.GT_LINESTRING:
+            n = structure[0][0]
+            (num_rings if contains_poly else num_parts).append(n)
+            push(n, False)
+        elif gt == W.GT_MULTILINESTRING:
+            num_geoms.append(len(structure))
+            for part in structure:
+                (num_rings if contains_poly else num_parts).append(part[0])
+                push(part[0], False)
+        elif gt == W.GT_POLYGON:
+            num_parts.append(len(structure[0]))
+            for n in structure[0]:
+                num_rings.append(n - 1)  # closing vertex dropped (GeometryEncoder.java:887-890)
+                push(n, True)
+        else:  # MULTIPOLYGON
+            num_geoms.append(len(structure))
+            for part in structure:
+                num_parts.append(len(part))
+                for n in part:
+                    num_rings.append(n - 1)
+                    push(n, True)
+    g = C.GeometryColumn(
+        types=np.array(types, dtype=np.int64),
+        num_geometries=np.array(num_geoms, dtype=np.int64),
+        num_parts=np.array(num_parts, dtype=np.int64),
+        num_rings=np.array(num_rings, dtype=np.int64),
+        vertices=np.array(verts, dtype=np.int64),
+    )
+    return g, order
+
+
+def encode_tiles(
+    features: DataFrame,
+    zoom: int,
+    extent: int = 4096,
+    layer_name: str = "features",
+    n_salt: int = 1,
+    include_doc_refs: bool = False,
+) -> DataFrame:
+    """features (doc_id, span_offset, wkt, rep_lon, rep_lat) → one row per
+    tile: (z, x, y, n_features, n_vertices, byte_size, tile binary)."""
+
+    tiled = features.select(
+        "doc_id",
+        "span_offset",
+        "wkt",
+        TM.lon_to_tile_x(F.col("rep_lon"), zoom).alias("x"),
+        TM.lat_to_tile_y(F.col("rep_lat"), zoom).alias("y"),
+    )
+    if n_salt > 1:
+        tiled = tiled.withColumn("salt", F.pmod(F.xxhash64("doc_id", "span_offset"), F.lit(n_salt)).cast("int"))
+    else:
+        tiled = tiled.withColumn("salt", F.lit(0))
+
+    def encode_group(key, pdf):
+        x, y, _salt = int(key[0]), int(key[1]), int(key[2])
+        pdf = pdf.sort_values(["doc_id", "span_offset"], ignore_index=True)
+        g, order = _features_to_geometry_column(pdf["wkt"].tolist(), x, y, zoom, extent)
+        props = []
+        if include_doc_refs:
+            docs = pdf["doc_id"].to_numpy()[order].tolist()
+            offs = [int(v) for v in pdf["span_offset"].to_numpy()[order]]
+            props = [
+                C.PropColumn("doc", "string", docs, nullable=True),
+                C.PropColumn("span", "int32", offs, nullable=False),
+            ]
+        layer = C.LayerData(
+            name=layer_name,
+            extent=extent,
+            geometry=g,
+            ids=np.arange(len(pdf), dtype=np.int64),
+            props=props,
+        )
+        part = C.encode_layer(layer)
+        return pd.DataFrame(
+            {
+                "x": [x],
+                "y": [y],
+                "n_features": [len(pdf)],
+                "n_vertices": [g.vertices.shape[0] // 2],
+                "part": [part],
+            }
+        )
+
+    parts = tiled.groupBy("x", "y", "salt").applyInPandas(encode_group, schema=TILE_SCHEMA)
+
+    merged = (
+        parts.groupBy("x", "y")
+        .agg(
+            F.sum("n_features").alias("n_features"),
+            F.sum("n_vertices").alias("n_vertices"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.col("part"))),
+                F.lit(b""),
+                lambda acc, p: F.concat(acc, p),
+            ).alias("tile"),
+        )
+        .select(
+            F.lit(zoom).alias("z"),
+            "x",
+            "y",
+            "n_features",
+            "n_vertices",
+            F.length("tile").cast("long").alias("byte_size"),
+            "tile",
+        )
+    )
+    return merged
+
+
+def write_tiles(tiles: DataFrame, path: str, partition_by_zoom: bool = True) -> None:
+    """Tile sink: parquet of (z,x,y,tile) — the distributed analog of the
+    reference's MLT file sink (Encode.java:394-418)."""
+    w = tiles.write.mode("overwrite")
+    if partition_by_zoom:
+        w = w.partitionBy("z")
+    w.parquet(path)
+
+
+def decode_tiles_membership(tiles: DataFrame) -> DataFrame:
+    """Inverse operator for verification: decode every tile back to
+    (z, x, y, feature_id, geom_type, n_vertices) rows via Arrow batches."""
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for z, x, y, blob in zip(pdf["z"], pdf["x"], pdf["y"], pdf["tile"]):
+                for la in C.decode_tile(bytes(blob)):
+                    feats = C.geometry_to_features(la.geometry)
+                    for fid, (gt, parts) in zip(la.ids.tolist(), feats):
+                        nv = sum(r.shape[0] for p in parts for r in p)
+                        rows.append((int(z), int(x), int(y), int(fid), int(gt), int(nv)))
+            yield pd.DataFrame(
+                rows, columns=["z", "x", "y", "feature_id", "geom_type", "n_vertices"]
+            )
+
+    return tiles.mapInPandas(dec, schema="z int, x int, y int, feature_id long, geom_type int, n_vertices long")

@@ -542,6 +542,43 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def q_mlt_tile_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MLT tile assembly (binary output → rows-only driver check):
+    deterministic interleaved documents → features → groupBy-encode."""
+    from maplibre_tile_spec_spark.operators import features as FE
+    from maplibre_tile_spec_spark.operators import tiler
+
+    docs = synth.synthesize_documents(spark, 2000, seed=42)
+    feats = FE.extract_features(docs)
+    return tiler.encode_tiles(feats, zoom=8).select(
+        F.col("z").cast("long"),
+        F.col("x").cast("long"),
+        F.col("y").cast("long"),
+        F.col("n_features"),
+        F.col("n_vertices"),
+        F.col("byte_size"),
+    )
+
+
+def q_mlt_tile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode then decode every tile; per-tile decoded feature membership
+    (rows-only check; pytest asserts equality with the declarative plan)."""
+    from maplibre_tile_spec_spark.operators import features as FE
+    from maplibre_tile_spec_spark.operators import tiler
+
+    docs = synth.synthesize_documents(spark, 1000, seed=42)
+    feats = FE.extract_features(docs)
+    tiles = tiler.encode_tiles(feats, zoom=6)
+    return tiler.decode_tiles_membership(tiles).select(
+        F.col("z").cast("long"),
+        F.col("x").cast("long"),
+        F.col("y").cast("long"),
+        F.col("feature_id"),
+        F.col("geom_type").cast("long"),
+        F.col("n_vertices"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -561,6 +598,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "cosine_topk": q_cosine_topk,
     "sessionize_events": q_sessionize_events,
+    # binary/tile outputs — no SQL oracle (driver records rows-only check);
+    # exactness is asserted by pytest fixture parity + membership round-trip
+    "mlt_tile_encode": q_mlt_tile_encode,
+    "mlt_tile_roundtrip": q_mlt_tile_roundtrip,
 }
 
 ORACLES: dict[str, str] = {

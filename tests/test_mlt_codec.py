@@ -1,0 +1,238 @@
+"""MLT codec: reference-fixture parity + self round-trip.
+
+Parity model = the reference's own golden-file strategy (justfile:82-150,
+cpp/test/test_decode.cpp:77-94): decode the expected tiles under
+/root/reference/test/expected/tag0x01/simple and compare feature membership
+(ids, geometry coordinates after tile→WGS84 projection, properties) against
+the stored .mlt.geojson; additionally our re-encode is byte-exact for the
+four geometry classes that don't carry tessellation streams.
+"""
+
+import json
+import math
+import os
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from maplibre_tile_spec_spark.functions import mlt_codec as C
+
+FIXTURE_DIR = "/root/reference/test/expected/tag0x01/simple"
+ALL_CLASSES = [
+    "point-boolean",
+    "line-boolean",
+    "polygon-boolean",
+    "multipoint-boolean",
+    "multiline-boolean",
+    "multipolygon-boolean",
+]
+# polygon classes were generated with --tessellate --outlines ALL (earcut
+# triangle streams we don't re-emit); the rest re-encode byte-exactly
+BYTE_EXACT_CLASSES = ["point-boolean", "line-boolean", "multipoint-boolean", "multiline-boolean"]
+
+requires_fixtures = pytest.mark.skipif(
+    not os.path.isdir(FIXTURE_DIR), reason="reference fixtures not available"
+)
+
+
+def project(x: np.ndarray, y: np.ndarray, extent: int, tx: int = 3, ty: int = 5, z: int = 7):
+    """tile→WGS84, inverse of cpp/include/mlt/projection.hpp:17-48 with the
+    C++ test's {x:3,y:5,z:7} tile (test_decode.cpp:105-170)."""
+    n = 2**z
+    lon = (x / extent + tx) / n * 360.0 - 180.0
+    merc = math.pi * (1 - 2 * (y / extent + ty) / n)
+    lat = np.degrees(np.arctan(np.sinh(merc)))
+    return lon, lat
+
+
+def geojson_coords(geom: dict) -> list:
+    t = geom["type"]
+    c = geom["coordinates"]
+    if t == "Point":
+        return [[[c]]]
+    if t == "LineString":
+        return [[c]]
+    if t == "MultiPoint":
+        return [[[p]] for p in c]
+    if t == "MultiLineString":
+        return [[ln] for ln in c]
+    if t == "Polygon":
+        return [c]
+    return c  # MultiPolygon
+
+
+@requires_fixtures
+class TestFixtureParity:
+    @pytest.mark.parametrize("name", ALL_CLASSES)
+    def test_membership_matches_geojson(self, name):
+        buf = open(f"{FIXTURE_DIR}/{name}.mlt", "rb").read()
+        expected = json.load(open(f"{FIXTURE_DIR}/{name}.mlt.geojson"))
+        layers = C.decode_tile(buf)
+        assert len(layers) == len(expected["layers"])
+        for la, exp in zip(layers, expected["layers"]):
+            assert la.name == exp["name"]
+            assert la.extent == exp["extent"]
+            feats = C.geometry_to_features(la.geometry)
+            assert len(feats) == len(exp["features"])
+            assert la.ids.tolist() == [f["id"] for f in exp["features"]]
+            for (gt, parts), ef in zip(feats, exp["features"]):
+                exp_parts = geojson_coords(ef["geometry"])
+                assert len(parts) == len(exp_parts), "part count"
+                for rings, exp_rings in zip(parts, exp_parts):
+                    assert len(rings) == len(exp_rings), "ring count"
+                    for ring, exp_ring in zip(rings, exp_rings):
+                        lon, lat = project(ring[:, 0].astype(float), ring[:, 1].astype(float), la.extent)
+                        got = np.column_stack([lon, lat])
+                        assert np.allclose(got, np.array(exp_ring), atol=1e-9)
+                for k, v in ef["properties"].items():
+                    idx = la.ids.tolist().index(ef["id"])
+                    assert la.props[k][idx] == v
+
+    @pytest.mark.parametrize("name", BYTE_EXACT_CLASSES)
+    def test_reencode_byte_exact(self, name):
+        buf = open(f"{FIXTURE_DIR}/{name}.mlt", "rb").read()
+        la = C.decode_tile(buf)[0]
+        layer = C.LayerData(
+            name=la.name,
+            extent=la.extent,
+            geometry=la.geometry,
+            ids=la.ids,
+            props=[C.PropColumn(k, "boolean", v, nullable=True) for k, v in la.props.items()],
+        )
+        assert C.encode_tile([layer]) == buf
+
+    @pytest.mark.parametrize("name", ["polygon-boolean", "multipolygon-boolean"])
+    def test_polygon_membership_after_reencode(self, name):
+        """Re-encode (sans tessellation) then decode: membership preserved."""
+        buf = open(f"{FIXTURE_DIR}/{name}.mlt", "rb").read()
+        la = C.decode_tile(buf)[0]
+        layer = C.LayerData(
+            name=la.name,
+            extent=la.extent,
+            geometry=la.geometry,
+            ids=la.ids,
+            props=[C.PropColumn(k, "boolean", v, nullable=True) for k, v in la.props.items()],
+        )
+        la2 = C.decode_tile(C.encode_tile([layer]))[0]
+        assert la2.ids.tolist() == la.ids.tolist()
+        assert la2.props == la.props
+        assert np.array_equal(la2.geometry.vertices, la.geometry.vertices)
+        assert np.array_equal(la2.geometry.types, la.geometry.types)
+
+
+def _mk_geometry(kinds: list[int], rng: np.random.RandomState) -> C.GeometryColumn:
+    types, num_geoms, num_parts, num_rings, verts = [], [], [], [], []
+    contains_poly = any(k in (C.MLT_POLYGON, C.MLT_MULTIPOLYGON) for k in kinds)
+
+    def add_verts(n):
+        verts.extend(rng.randint(0, 4096, n * 2).tolist())
+
+    for k in kinds:
+        types.append(k)
+        if k == C.MLT_POINT:
+            add_verts(1)
+        elif k == C.MLT_MULTIPOINT:
+            n = rng.randint(2, 5)
+            num_geoms.append(n)
+            add_verts(n)
+        elif k == C.MLT_LINESTRING:
+            n = rng.randint(2, 8)
+            (num_rings if contains_poly else num_parts).append(n)
+            add_verts(n)
+        elif k == C.MLT_MULTILINESTRING:
+            nl = rng.randint(2, 4)
+            num_geoms.append(nl)
+            for _ in range(nl):
+                n = rng.randint(2, 6)
+                (num_rings if contains_poly else num_parts).append(n)
+                add_verts(n)
+        elif k == C.MLT_POLYGON:
+            nr = rng.randint(1, 3)
+            num_parts.append(nr)
+            for _ in range(nr):
+                n = rng.randint(3, 8)
+                num_rings.append(n)
+                add_verts(n)
+        elif k == C.MLT_MULTIPOLYGON:
+            npoly = rng.randint(2, 3)
+            num_geoms.append(npoly)
+            for _ in range(npoly):
+                nr = rng.randint(1, 2)
+                num_parts.append(nr)
+                for _ in range(nr):
+                    n = rng.randint(3, 6)
+                    num_rings.append(n)
+                    add_verts(n)
+    return C.GeometryColumn(
+        types=np.array(types, dtype=np.int64),
+        num_geometries=np.array(num_geoms, dtype=np.int64),
+        num_parts=np.array(num_parts, dtype=np.int64),
+        num_rings=np.array(num_rings, dtype=np.int64),
+        vertices=np.array(verts, dtype=np.int64),
+    )
+
+
+class TestSelfRoundtrip:
+    @given(st.lists(st.integers(0, 5), min_size=1, max_size=20), st.integers(0, 10**6))
+    @settings(max_examples=40, deadline=None)
+    def test_geometry_roundtrip(self, kinds, seed):
+        rng = np.random.RandomState(seed % 2**31)
+        g = _mk_geometry(kinds, rng)
+        n = len(kinds)
+        layer = C.LayerData(
+            name="t",
+            extent=4096,
+            geometry=g,
+            ids=np.arange(1, n + 1),
+            props=[
+                C.PropColumn("flag", "boolean", [bool(i % 2) for i in range(n)], nullable=True),
+                C.PropColumn("rank", "int32", [i - 3 for i in range(n)], nullable=False),
+                C.PropColumn("ele", "int32", [i if i % 3 else None for i in range(n)], nullable=True),
+                C.PropColumn("name", "string", [f"n{i % 4}" for i in range(n)], nullable=True),
+                C.PropColumn("speed", "double", [i * 1.5 for i in range(n)], nullable=False),
+                C.PropColumn("big", "int64", [2**40 + i for i in range(n)], nullable=False),
+            ],
+        )
+        la = C.decode_tile(C.encode_tile([layer]))[0]
+        assert la.name == "t" and la.extent == 4096
+        assert la.ids.tolist() == list(range(1, n + 1))
+        assert np.array_equal(la.geometry.types, g.types)
+        assert np.array_equal(la.geometry.vertices, g.vertices)
+        assert np.array_equal(la.geometry.num_parts, g.num_parts)
+        assert np.array_equal(la.geometry.num_rings, g.num_rings)
+        assert np.array_equal(la.geometry.num_geometries, g.num_geometries)
+        assert la.props["flag"] == [bool(i % 2) for i in range(n)]
+        assert la.props["rank"] == [i - 3 for i in range(n)]
+        assert la.props["ele"] == [i if i % 3 else None for i in range(n)]
+        assert la.props["name"] == [f"n{i % 4}" for i in range(n)]
+        assert la.props["speed"] == [i * 1.5 for i in range(n)]
+        assert la.props["big"] == [2**40 + i for i in range(n)]
+
+    def test_multi_layer_tile(self):
+        rng = np.random.RandomState(7)
+        g1 = _mk_geometry([C.MLT_POINT] * 5, rng)
+        g2 = _mk_geometry([C.MLT_POLYGON, C.MLT_LINESTRING], rng)
+        tile = C.encode_tile(
+            [
+                C.LayerData("poi", 4096, g1, ids=np.arange(5)),
+                C.LayerData("land", 4096, g2, ids=np.array([10, 11]), props=[]),
+            ]
+        )
+        layers = C.decode_tile(tile)
+        assert [la.name for la in layers] == ["poi", "land"]
+        assert layers[1].geometry.types.tolist() == [C.MLT_POLYGON, C.MLT_LINESTRING]
+
+    def test_long_ids(self):
+        g = _mk_geometry([C.MLT_POINT, C.MLT_POINT], np.random.RandomState(1))
+        ids = np.array([2**33, 2**34])
+        la = C.decode_tile(C.encode_tile([C.LayerData("x", 4096, g, ids=ids, has_long_ids=True)]))[0]
+        assert la.ids.tolist() == ids.tolist()
+
+    def test_fsst_decode(self):
+        # symbols [he, llo, x] + escape: "hello hex" style corpus
+        table = b"hello_"
+        lengths = np.array([2, 3, 1])  # "he", "llo", "_"
+        compressed = bytes([0, 1, 2, 255, ord("!")])
+        assert C.fsst_decode(table, lengths, compressed) == b"hello_!"

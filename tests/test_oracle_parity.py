@@ -37,7 +37,7 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
+@pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, sf_dir, duck, name):
     got = _normalize(QUERIES[name](spark, sf_dir).toPandas())
     exp = _normalize(duck.execute(ORACLES[name]).df())

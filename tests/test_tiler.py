@@ -1,0 +1,86 @@
+"""Distributed tiler: membership round-trip + salt-invariance + span invariant."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from maplibre_tile_spec_spark.functions import mlt_codec as C
+from maplibre_tile_spec_spark.operators import features as FE
+from maplibre_tile_spec_spark.operators import tiler
+from maplibre_tile_spec_spark.operators.invariants import assert_span_sequence_equal
+from maplibre_tile_spec_spark.sources import synth
+
+
+@pytest.fixture(scope="module")
+def feats(spark):
+    docs = synth.synthesize_documents(spark, 400, seed=42).cache()
+    return docs, FE.extract_features(docs).cache()
+
+
+class TestEncodeTiles:
+    def test_tiles_decode_and_membership_matches(self, spark, feats):
+        docs, features = feats
+        zoom = 8
+        tiles = tiler.encode_tiles(features, zoom=zoom).cache()
+        got = tiles.select("z", "x", "y", "n_features").collect()
+        assert all(r.z == zoom for r in got)
+        # per-tile feature counts must equal the declarative assignment
+        from maplibre_tile_spec_spark.functions import tilemath as TM
+
+        expected = {
+            (r.x, r.y): r.n
+            for r in features.select(
+                TM.lon_to_tile_x(F.col("rep_lon"), zoom).alias("x"),
+                TM.lat_to_tile_y(F.col("rep_lat"), zoom).alias("y"),
+            )
+            .groupBy("x", "y")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert {(r.x, r.y): r.n_features for r in got} == expected
+
+        # every tile byte blob decodes; feature count and vertex count agree
+        membership = tiler.decode_tiles_membership(tiles)
+        per_tile = membership.groupBy("x", "y").agg(F.count("*").alias("n")).collect()
+        assert {(r.x, r.y): r.n for r in per_tile} == expected
+
+        # documents untouched (tiler is read-only on its input)
+        assert_span_sequence_equal(docs, docs)
+
+    def test_salting_preserves_membership(self, spark, feats):
+        _, features = feats
+        zoom = 6
+        plain = tiler.encode_tiles(features, zoom=zoom, n_salt=1)
+        salted = tiler.encode_tiles(features, zoom=zoom, n_salt=4)
+        m1 = {
+            (r.x, r.y, r.geom_type, r.n_vertices)
+            for r in tiler.decode_tiles_membership(plain).collect()
+        }
+        m2 = {
+            (r.x, r.y, r.geom_type, r.n_vertices)
+            for r in tiler.decode_tiles_membership(salted).collect()
+        }
+        assert m1 == m2
+        # salted tile = concatenation of valid framed blocks → byte size equalish
+        s1 = {(r.x, r.y): r.n_features for r in plain.collect()}
+        s2 = {(r.x, r.y): r.n_features for r in salted.collect()}
+        assert s1 == s2
+
+    def test_doc_refs_roundtrip(self, spark, feats):
+        _, features = feats
+        tiles = tiler.encode_tiles(features.limit(50), zoom=4, include_doc_refs=True)
+        row = tiles.first()
+        layers = C.decode_tile(bytes(row.tile))
+        docs_in_tile = [d for la in layers for d in la.props["doc"]]
+        assert all(d.startswith("doc-") for d in docs_in_tile)
+        spans_in_tile = [s for la in layers for s in la.props["span"]]
+        assert all(isinstance(s, int) and s >= 0 for s in spans_in_tile)
+
+    def test_compression_beats_plain_wkt(self, spark, feats):
+        """The analog of the reference's compression claims (README.md:36-49):
+        MLT tile bytes must be much smaller than the raw WKT they encode."""
+        _, features = feats
+        tiles = tiler.encode_tiles(features, zoom=6)
+        total_tile_bytes = tiles.agg(F.sum("byte_size")).first()[0]
+        total_wkt_bytes = features.agg(F.sum(F.length("wkt"))).first()[0]
+        assert total_tile_bytes < total_wkt_bytes * 0.5
