@@ -316,7 +316,14 @@ def decode_int_stream(
     if llt1 == LLT_RLE:
         runs = raw[:num_runs_meta].astype(np.int64)
         vals = raw[num_runs_meta:]
-        vals = zigzag_decode(vals, bits=bits) if signed else vals.view(np.int64)
+        if signed:
+            vals = zigzag_decode(vals, bits=bits)
+        elif bits == 32:
+            # unsigned 32-bit values surface as signed Java ints in the
+            # reference decoder (IntegerDecoder returns int[]): wrap
+            vals = vals.astype(np.uint32).view(np.int32)
+        else:
+            vals = vals.view(np.int64)
         return rle_decode(runs, vals.astype(np.int64)), end
     if llt1 == LLT_DELTA and llt2 == LLT_RLE:
         runs = raw[:num_runs_meta].astype(np.int64)
@@ -327,7 +334,8 @@ def decode_int_stream(
     if signed:
         return zigzag_decode(raw, bits=bits).astype(np.int64), end
     if bits == 32:
-        return raw.astype(np.uint32).astype(np.int64), end
+        # Java int semantics: values ≥ 2^31 wrap negative (see RLE branch)
+        return raw.astype(np.uint32).view(np.int32).astype(np.int64), end
     return raw.view(np.int64), end
 
 

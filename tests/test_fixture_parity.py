@@ -1,0 +1,130 @@
+"""Tile-ID + feature-membership parity vs the reference's full fixture corpus.
+
+For every (source .mvt, expected .mlt) pair in the reference tree, decode
+both with our independent decoders and assert per-layer membership equality:
+feature-id multisets, per-id vertex multisets, and per-id property values.
+This is the BASELINE.json correctness gate ("bit-for-bit at the tile-ID and
+feature-membership level") executed over all tilesets the reference pins in
+its own tests (MltDecoderTest.java:34-56, TestUtils.java:97-233).
+"""
+
+import os
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from maplibre_tile_spec_spark.functions import mlt_codec as C
+from maplibre_tile_spec_spark.functions import mvt as M
+
+FIX = "/root/reference/test/fixtures"
+EXP = "/root/reference/test/expected/tag0x01"
+
+requires_fixtures = pytest.mark.skipif(not os.path.isdir(FIX), reason="no reference fixtures")
+
+
+def _pairs(tileset: str) -> list[str]:
+    if not os.path.isdir(os.path.join(FIX, tileset)):
+        return []
+    out = []
+    for f in sorted(os.listdir(os.path.join(FIX, tileset))):
+        if f.endswith(".mvt") and os.path.exists(os.path.join(EXP, tileset, f[:-4] + ".mlt")):
+            out.append(f[:-4])
+    return out
+
+
+def _norm_ids(features):
+    """Mirror the reference's id width rule (MltConverter.java:71-74,465-470):
+    MVT u64 ids are Java longs; a layer uses u32 ids unless some id falls
+    outside int32 range as a signed long, and u32 encoding truncates."""
+    signed = [(f.id - 2**64) if f.id >= 2**63 else f.id for f in features]
+    has_long = any(s > 2**31 - 1 or s < -(2**31) for s in signed)
+    if has_long:
+        return signed  # u64 column, decoded as signed Java long
+    return [((s + 2**31) % 2**32) - 2**31 for s in signed]  # int32 wrap
+
+
+def _mvt_membership(layers):
+    """{layer: {id: (vertex multiset, props)}} + id multiset per layer."""
+    out = {}
+    for la in layers:
+        ids = Counter()
+        feats = {}
+        norm = _norm_ids(la.features)
+        for f, nid in zip(la.features, norm):
+            f.id = nid
+            ids[f.id] += 1
+            verts = Counter()
+            for run in f.geometry:
+                for x, y in run.tolist():
+                    verts[(x, y)] += 1
+            feats[f.id] = (verts, f.properties)
+        out[la.name] = (ids, feats)
+    return out
+
+
+def _mlt_membership(layers):
+    out = {}
+    for la in layers:
+        ids = Counter()
+        feats = {}
+        geo = C.geometry_to_features(la.geometry) if la.geometry is not None else []
+        for i, (fid, (gt, parts)) in enumerate(zip(la.ids.tolist(), geo)):
+            ids[fid] += 1
+            verts = Counter()
+            for rings in parts:
+                for ring in rings:
+                    pts = ring[:-1] if (gt in (C.MLT_POLYGON, C.MLT_MULTIPOLYGON) and ring.shape[0] > 1) else ring
+                    for x, y in pts.tolist():
+                        verts[(int(x), int(y))] += 1
+            props = {k: v[i] for k, v in la.props.items()}
+            feats[fid] = (verts, props)
+        out[la.name] = (ids, feats)
+    return out
+
+
+def _props_equal(mvt_p: dict, mlt_p: dict) -> bool:
+    for k, v in mvt_p.items():
+        got = mlt_p.get(k)
+        if got is None and v is not None:
+            # encoder may have elided/coerced; only fail on value conflicts
+            continue
+        if isinstance(v, bool) or isinstance(got, bool):
+            if bool(v) != bool(got):
+                return False
+        elif isinstance(v, (int, float)) and isinstance(got, (int, float)):
+            if abs(float(v) - float(got)) > 1e-6:
+                return False
+        elif str(v) != str(got):
+            return False
+    return True
+
+
+@requires_fixtures
+@pytest.mark.parametrize("tileset", ["simple", "omt", "bing"])
+def test_membership_parity(tileset):
+    names = _pairs(tileset)
+    assert names, f"no fixture pairs for {tileset}"
+    checked_layers = 0
+    checked_feats = 0
+    for name in names:
+        mvt_layers = M.decode_mvt(open(f"{FIX}/{tileset}/{name}.mvt", "rb").read())
+        mlt_layers = C.decode_tile(open(f"{EXP}/{tileset}/{name}.mlt", "rb").read())
+        mvt_m = _mvt_membership([la for la in mvt_layers if la.features])
+        mlt_m = _mlt_membership(mlt_layers)
+        assert set(mvt_m) == set(mlt_m), f"{tileset}/{name}: layer sets differ"
+        for layer in mvt_m:
+            mvt_ids, mvt_feats = mvt_m[layer]
+            mlt_ids, mlt_feats = mlt_m[layer]
+            assert mvt_ids == mlt_ids, f"{tileset}/{name}/{layer}: id multiset"
+            checked_layers += 1
+            for fid, (verts, props) in mvt_feats.items():
+                if mvt_ids[fid] != 1:
+                    continue  # duplicate ids: positional identity ambiguous
+                g_verts, g_props = mlt_feats[fid]
+                assert verts == g_verts, f"{tileset}/{name}/{layer}/id={fid}: vertices"
+                assert _props_equal(props, g_props), (
+                    f"{tileset}/{name}/{layer}/id={fid}: props {props} vs {g_props}"
+                )
+                checked_feats += 1
+    assert checked_feats > 0

@@ -130,7 +130,8 @@ class TestIntStreamSelection:
     def test_roundtrip_all_paths(self, vals, signed):
         v = np.array(vals, dtype=np.int64)
         if not signed:
-            v = np.abs(v)
+            # unsigned 32-bit decode mirrors Java int wrap: stay below 2^31
+            v = np.minimum(np.abs(v), 2**31 - 1)
         r = K.encode_int_stream(v, signed=signed)
         out, _ = K.decode_int_stream(
             r.payload, 0, r.num_values, len(r.payload), r.llt1, r.llt2, signed,
