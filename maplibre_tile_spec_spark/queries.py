@@ -542,6 +542,205 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs with an md5 hash family chosen
+    so the SQL oracle reproduces signatures byte-for-byte."""
+    from maplibre_tile_spec_spark.operators import dedup
+
+    d = tables.load(spark, sf_dir, "documents")
+    return dedup.lsh_candidate_pairs(d).select(
+        F.col("doc_a").cast("long"), F.col("doc_b").cast("long")
+    )
+
+
+def _sql_minhash_lsh_pairs() -> str:
+    return r"""
+WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+  FROM toks WHERE len(t) >= 3
+),
+mh AS (
+  SELECT doc_id,
+         list_transform(range(0, 16), h -> list_min(list_transform(shingles, s -> md5(h::VARCHAR || ':' || s)))) AS mhs
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, u.b AS band, md5(array_to_string(mhs[u.b*4+1 : u.b*4+4], ',')) AS sig
+  FROM mh CROSS JOIN unnest(range(0, 4)) AS u(b)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs ≥ 0.2 via inverted-index join."""
+    from maplibre_tile_spec_spark.operators import dedup
+
+    d = tables.load(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, threshold=0.2).select(
+        F.col("doc_a").cast("long"),
+        F.col("doc_b").cast("long"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+def _sql_ngram_jaccard() -> str:
+    return r"""
+WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+  FROM toks WHERE len(t) >= 3
+),
+inv AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter,
+         any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, round(n_inter / (na + nb - n_inter), 6) AS jaccard
+FROM inter WHERE n_inter / (na + nb - n_inter) >= 0.2
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID with deterministic tie-break."""
+    from maplibre_tile_spec_spark.operators import text as T
+
+    d = tables.load(spark, sf_dir, "documents")
+    return T.lang_scores(d).select(
+        F.col("doc_id").cast("long"), "hits_en", "hits_de", "hits_fr", "hits_es", "lang_pred"
+    )
+
+
+def _sql_lang_id() -> str:
+    from maplibre_tile_spec_spark.operators.text import LANG_ORDER, STOPWORDS
+
+    hit_cols = []
+    for lang in LANG_ORDER:
+        words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        hit_cols.append(
+            f"CAST(list_sum(list_transform(t, x -> CASE WHEN x IN ({words}) THEN 1 ELSE 0 END)) AS BIGINT) AS hits_{lang}"
+        )
+    # argmax with first-in-order tie-break, mirroring lang_scores
+    best = f"'{LANG_ORDER[-1]}'"
+    best_hits = f"hits_{LANG_ORDER[-1]}"
+    for lang in reversed(LANG_ORDER[:-1]):
+        best = f"CASE WHEN hits_{lang} >= {best_hits} THEN '{lang}' ELSE {best} END"
+        best_hits = f"CASE WHEN hits_{lang} >= {best_hits} THEN hits_{lang} ELSE {best_hits} END"
+    return rf"""
+WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+scored AS (SELECT doc_id, {", ".join(hit_cols)} FROM toks)
+SELECT doc_id, hits_en, hits_de, hits_fr, hits_es,
+       CASE WHEN {best_hits} > 0 THEN {best} ELSE 'unknown' END AS lang_pred
+FROM scored
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based document quality flags (exact integer arithmetic)."""
+    from maplibre_tile_spec_spark.operators import text as T
+
+    d = tables.load(spark, sf_dir, "documents")
+    return T.quality_score(d).select(
+        F.col("doc_id").cast("long"),
+        "n_tokens",
+        "mean_word_len_x100",
+        "n_punct",
+        "n_alpha_tokens",
+        "quality_score",
+    )
+
+
+def _sql_quality_score() -> str:
+    return r"""
+WITH toks AS (
+  SELECT doc_id, text, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(t) AS n_tokens,
+         CAST(floor(CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) * 100 / greatest(len(t), 1)) AS BIGINT) AS mean_word_len_x100,
+         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+         length(text) AS n_chars,
+         CAST(list_sum(list_transform(t, x -> CASE WHEN regexp_matches(x, '^[a-z]+$') THEN 1 ELSE 0 END)) AS BIGINT) AS n_alpha_tokens
+  FROM toks
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, mean_word_len_x100,
+       CAST(n_punct AS BIGINT) AS n_punct,
+       COALESCE(n_alpha_tokens, 0) AS n_alpha_tokens,
+       CAST((CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 1 ELSE 0 END)
+          + (CASE WHEN mean_word_len_x100 BETWEEN 200 AND 1200 THEN 1 ELSE 0 END)
+          + (CASE WHEN n_punct * 5 <= n_chars THEN 1 ELSE 0 END)
+          + (CASE WHEN COALESCE(n_alpha_tokens, 0) * 2 >= n_tokens THEN 1 ELSE 0 END) AS BIGINT) AS quality_score
+FROM m
+"""
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish subword token estimates."""
+    from maplibre_tile_spec_spark.operators import text as T
+
+    d = tables.load(spark, sf_dir, "documents")
+    return T.token_counts(d).select(F.col("doc_id").cast("long"), "n_ws_tokens", "n_bpe_est")
+
+
+def _sql_token_counts() -> str:
+    return r"""
+WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS p FROM documents)
+SELECT doc_id,
+       CAST(len(p) AS BIGINT) AS n_ws_tokens,
+       CAST(list_sum(list_transform(p, x -> floor((length(x) + 3) / 4))) AS BIGINT) AS n_bpe_est
+FROM toks
+"""
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints (full-text md5 + first-8-token prefix md5)."""
+    from maplibre_tile_spec_spark.operators import text as T
+
+    d = tables.load(spark, sf_dir, "documents")
+    return T.fingerprints(d).select(F.col("doc_id").cast("long"), "fp_full", "fp_head8")
+
+
+def _sql_fingerprints() -> str:
+    return r"""
+WITH toks AS (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents)
+SELECT doc_id, md5(text) AS fp_full,
+       md5(array_to_string(t[1:8], ' ')) AS fp_head8
+FROM toks
+"""
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3, pigeonhole-blocked join) —
+    rows-only driver check; pytest verifies against brute-force hamming."""
+    from maplibre_tile_spec_spark.operators import dedup
+
+    d = tables.load(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(d).select(
+        F.col("doc_a").cast("long"), F.col("doc_b").cast("long"), F.col("hamming").cast("long")
+    )
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate nearest neighbors (scale path; rows-only
+    driver check — pytest measures ≥0.9 recall vs the exact oracle)."""
+    from maplibre_tile_spec_spark.operators import similarity
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(F.col("vec_id").alias("qid"), "embedding")
+    c = emb.select(F.col("vec_id").alias("cid"), "embedding")
+    out = similarity.ann_lsh_topk(q, c, k=5)
+    return out.select(
+        F.col("qid").cast("long"), F.col("cid").cast("long"), F.col("rank").cast("long")
+    )
+
+
 def q_mlt_tile_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MLT tile assembly (binary output → rows-only driver check):
     deterministic interleaved documents → features → groupBy-encode."""
@@ -598,6 +797,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "cosine_topk": q_cosine_topk,
     "sessionize_events": q_sessionize_events,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "ngram_jaccard": q_ngram_jaccard,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "token_counts": q_token_counts,
+    "fingerprints": q_fingerprints,
+    # rows-only checks below (no SQL oracle):
+    "simhash_pairs": q_simhash_pairs,
+    "ann_cosine_topk": q_ann_cosine_topk,
     # binary/tile outputs — no SQL oracle (driver records rows-only check);
     # exactness is asserted by pytest fixture parity + membership round-trip
     "mlt_tile_encode": q_mlt_tile_encode,
@@ -619,4 +827,10 @@ ORACLES: dict[str, str] = {
     "text_stats": _sql_text_stats(),
     "cosine_topk": _sql_cosine_topk(),
     "sessionize_events": _sql_sessionize_events(),
+    "minhash_lsh_pairs": _sql_minhash_lsh_pairs(),
+    "ngram_jaccard": _sql_ngram_jaccard(),
+    "lang_id": _sql_lang_id(),
+    "quality_score": _sql_quality_score(),
+    "token_counts": _sql_token_counts(),
+    "fingerprints": _sql_fingerprints(),
 }

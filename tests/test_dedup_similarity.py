@@ -1,0 +1,116 @@
+"""Dedup + similarity operators: correctness vs independent brute force."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from maplibre_tile_spec_spark.operators import dedup, similarity
+from maplibre_tile_spec_spark.sources import tables
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    base = tables.load(spark, sf_dir, "documents")
+    # inject known near-duplicates: copy 5 docs with one token changed
+    dup = (
+        base.filter(F.col("doc_id") < 5)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    exact = base.filter(F.col("doc_id") < 3).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    return base.unionByName(dup).unionByName(exact).cache()
+
+
+class TestExactDedup:
+    def test_exact_copies_grouped(self, docs):
+        out = dedup.exact_dedup(docs)
+        dupes = out.filter(F.col("n_copies") > 1).collect()
+        assert len(dupes) >= 3  # the injected exact copies
+        assert all(r.rep_doc_id < 3 for r in dupes if r.n_copies == 2)
+
+
+class TestMinhashLsh:
+    def test_exact_dups_always_candidates(self, docs):
+        pairs = {(r.doc_a, r.doc_b) for r in dedup.lsh_candidate_pairs(docs).collect()}
+        for i in range(3):
+            assert (i, i + 200000) in pairs  # identical text ⇒ identical signature
+        # near-dups (one appended token) should mostly collide on ≥1 band
+        near = sum(1 for i in range(5) if (i, i + 100000) in pairs)
+        assert near >= 3
+
+    def test_fast_family_agrees_on_exact_dups(self, docs):
+        pairs = {(r.doc_a, r.doc_b) for r in dedup.lsh_candidate_pairs(docs, fast=True).collect()}
+        for i in range(3):
+            assert (i, i + 200000) in pairs
+
+
+class TestSimhash:
+    def test_near_pairs_match_bruteforce(self, spark, docs):
+        sub = docs.filter((F.col("doc_id") < 50) | (F.col("doc_id") >= 100000)).cache()
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in dedup.simhash_near_pairs(sub, max_hamming=3).collect()
+        }
+        sh = {r.id: r.simhash for r in dedup.simhash(sub).collect()}
+        expected = set()
+        ids = sorted(sh)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                if bin(sh[a] ^ sh[b]).count("1") <= 3:
+                    expected.add((a, b))
+        # pigeonhole blocking is exact for hamming ≤ 3 with 4 blocks
+        assert got == expected
+        assert any((i, i + 200000) in got for i in range(3))
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb(self, spark, sf_dir):
+        return tables.load(spark, sf_dir, "embeddings").cache()
+
+    def test_bruteforce_matches_numpy(self, emb):
+        q = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), "embedding")
+        c = emb.select(F.col("vec_id").alias("cid"), "embedding")
+        got = {}
+        for r in similarity.cosine_topk_bruteforce(q, c, k=3).collect():
+            got.setdefault(r.qid, []).append((r.rank, r.cid))
+        rows = emb.collect()
+        M = np.stack([np.array(r.embedding, dtype=np.float64) for r in rows])
+        ids = [r.vec_id for r in rows]
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        sims = Mn @ Mn.T
+        for qi, qid in enumerate(ids):
+            if qid >= 5:
+                continue
+            order = sorted(
+                (i for i in range(len(ids)) if ids[i] != qid),
+                key=lambda i: (-sims[qi, i], ids[i]),
+            )
+            assert [cid for _, cid in sorted(got[qid])] == [ids[i] for i in order[:3]]
+
+    def test_ann_recall(self, emb):
+        q = emb.filter(F.col("vec_id") < 30).select(F.col("vec_id").alias("qid"), "embedding")
+        c = emb.select(F.col("vec_id").alias("cid"), "embedding")
+        exact = {
+            (r.qid, r.cid) for r in similarity.cosine_topk_bruteforce(q, c, k=3).collect()
+        }
+        approx = {
+            (r.qid, r.cid) for r in similarity.ann_lsh_topk(q, c, k=3).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.9, f"ANN recall too low: {recall}"
+
+    def test_signature_determinism(self, emb):
+        s1 = {r.id: r.sig for r in similarity.random_hyperplane_signatures(emb).collect()}
+        s2 = {
+            r.id: r.sig
+            for r in similarity.random_hyperplane_signatures(emb.repartition(7)).collect()
+        }
+        assert s1 == s2
