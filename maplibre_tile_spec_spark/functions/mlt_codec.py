@@ -92,6 +92,17 @@ class PropColumn:
 
 
 @dataclass
+class StructColumn:
+    """Shared-dictionary struct (the reference's `name:*` column family,
+    PropertyEncoder.encodeStructPropertyColumn / StringEncoder.
+    encodeSharedDictionary): children are nullable string columns sharing
+    one first-seen-order dictionary."""
+
+    name: str  # root prefix, e.g. "name"
+    children: list[tuple[str, list]]  # (suffix e.g. "" / ":en", values with None)
+
+
+@dataclass
 class LayerData:
     name: str
     extent: int
@@ -99,6 +110,7 @@ class LayerData:
     ids: np.ndarray | None = None
     has_long_ids: bool = False
     props: list[PropColumn] = field(default_factory=list)
+    structs: list[StructColumn] = field(default_factory=list)
 
 
 # ---------------------------------------------------------------------------
@@ -310,10 +322,52 @@ def _encode_string_streams(values: list[str]) -> tuple[bytes, int]:
 # ---------------------------------------------------------------------------
 
 
+def encode_struct_column(struct: StructColumn) -> bytes:
+    """Shared-dictionary streams (StringEncoder.encodeSharedDictionary,
+    no-FSST path): LENGTH(DICTIONARY) + DATA(SHARED) then per child
+    varint(2) + present + OFFSET(STRING)."""
+    dictionary: list[bytes] = []
+    seen: dict[bytes, int] = {}
+    offsets_per_child = []
+    presents_per_child = []
+    for _suffix, values in struct.children:
+        present = np.array([v is not None for v in values])
+        offs = []
+        for v in values:
+            if v is None:
+                continue
+            b = v.encode("utf-8")
+            j = seen.get(b)
+            if j is None:
+                j = len(dictionary)
+                seen[b] = j
+                dictionary.append(b)
+            offs.append(j)
+        presents_per_child.append(present)
+        offsets_per_child.append(np.array(offs, dtype=np.int64))
+    if not dictionary:
+        return _varint1(0)
+    n_streams = 3 + 2 * len(struct.children)
+    out = _varint1(n_streams)
+    dlengths = np.array([len(b) for b in dictionary], dtype=np.int64)
+    ddata = b"".join(dictionary)
+    out += _int_stream(dlengths, False, K.PST_LENGTH, LT_DICTIONARY)
+    out += K.pack_stream_metadata(K.PST_DATA, DT_SHARED, K.LLT_NONE, K.LLT_NONE, K.PLT_NONE, len(dictionary), len(ddata))
+    out += ddata
+    for present, offs in zip(presents_per_child, offsets_per_child):
+        if offs.shape[0] == 0:
+            out += _varint1(0)
+            continue
+        out += _varint1(2)
+        out += _boolean_stream(present, K.PST_PRESENT)
+        out += _int_stream(offs, False, K.PST_OFFSET, OT_STRING)
+    return out
+
+
 def encode_layer(layer: LayerData) -> bytes:
     meta = _put_string(layer.name)
     meta += _varint1(layer.extent)
-    n_cols = (1 if layer.ids is not None else 0) + 1 + len(layer.props)
+    n_cols = (1 if layer.ids is not None else 0) + 1 + len(layer.props) + len(layer.structs)
     meta += _varint1(n_cols)
     body = b""
     if layer.ids is not None:
@@ -326,6 +380,12 @@ def encode_layer(layer: LayerData) -> bytes:
     for col in layer.props:
         meta += _varint1(_SCALAR_CODES[col.type] + (1 if col.nullable else 0)) + _put_string(col.name)
         body += encode_prop_column(col)
+    for struct_col in layer.structs:
+        meta += _varint1(TC_STRUCT) + _put_string(struct_col.name)
+        meta += _varint1(len(struct_col.children))
+        for suffix, _values in struct_col.children:
+            meta += _varint1(_SCALAR_CODES["string"] + 1) + _put_string(suffix)
+        body += encode_struct_column(struct_col)
     payload = meta + body
     tag = _varint1(TAG_EMBEDDED)
     return K.varint_encode(np.array([len(payload) + len(tag)], dtype=np.uint64)) + tag + payload
@@ -562,6 +622,9 @@ def _decode_shared_dict_struct(buf: bytes, pos: int, root_name: str, children: l
     for _tc, ch_name in children:
         v, pos = K.varint_decode(buf, 1, pos)
         ns = int(v[0])
+        if ns == 0:  # no values present for this child in this tile
+            props[(root_name or "") + (ch_name or "")] = []
+            continue
         if ns != 2:
             raise ValueError("struct child must have present+offset streams")
         present, pos = _decode_boolean_stream(buf, pos)

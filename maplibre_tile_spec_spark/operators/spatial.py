@@ -105,30 +105,54 @@ def pip_join(
     )
     candidates = pc.join(cover, ["level", "cx", "cy"], "inner").select(id_col, "lon", "lat", "poly_id")
 
-    polys_b = F.broadcast(polys) if broadcast_polys else polys
-    cand = candidates.join(polys_b, "poly_id", "inner")
-
     refine_schema = f"{id_col} {id_type}, poly_id string"
 
-    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _rings_of(wkt: str) -> list[np.ndarray]:
+        _, coords, structure = W.parse_wkt(wkt)
+        rings, i = [], 0
+        for part in structure:
+            for n in part:
+                rings.append(coords[i : i + n])
+                i += n
+        return rings
+
+    if broadcast_polys:
+        # dimension-sized polygon side: ship pre-parsed rings as a broadcast
+        # variable instead of joining WKT strings onto every candidate row
+        ring_map = {r["poly_id"]: _rings_of(r["geom_wkt"]) for r in polys.select("poly_id", "geom_wkt").collect()}
+        bc = points.sparkSession.sparkContext.broadcast(ring_map)
+
+        def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            rings_by_id = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                keep_idx: list[np.ndarray] = []
+                for poly_id, grp in pdf.groupby("poly_id", sort=False):
+                    inside = G.points_in_polygon(
+                        grp["lon"].to_numpy(), grp["lat"].to_numpy(), rings_by_id[poly_id]
+                    )
+                    keep_idx.append(grp.index.to_numpy()[inside])
+                keep = np.concatenate(keep_idx) if keep_idx else np.array([], dtype=np.int64)
+                yield pdf.loc[keep, [id_col, "poly_id"]]
+
+        return candidates.mapInPandas(refine, schema=refine_schema)
+
+    # large polygon side: co-locate candidates with geometries via join
+    cand = candidates.join(polys, "poly_id", "inner")
+
+    def refine_join(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
             keep_idx: list[np.ndarray] = []
             for wkt, grp in pdf.groupby("geom_wkt", sort=False):
-                _, coords, structure = W.parse_wkt(wkt)
-                rings, i = [], 0
-                for part in structure:
-                    for n in part:
-                        rings.append(coords[i : i + n])
-                        i += n
-                inside = G.points_in_polygon(grp["lon"].to_numpy(), grp["lat"].to_numpy(), rings)
+                inside = G.points_in_polygon(grp["lon"].to_numpy(), grp["lat"].to_numpy(), _rings_of(wkt))
                 keep_idx.append(grp.index.to_numpy()[inside])
             keep = np.concatenate(keep_idx) if keep_idx else np.array([], dtype=np.int64)
-            out = pdf.loc[keep, [id_col, "poly_id"]]
-            yield out
+            yield pdf.loc[keep, [id_col, "poly_id"]]
 
-    return cand.mapInPandas(refine, schema=refine_schema)
+    return cand.mapInPandas(refine_join, schema=refine_schema)
 
 
 # ---------------------------------------------------------------------------

@@ -727,6 +727,90 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type inference + unification over mixed-type property observations
+    (the reference's createTilesetMetadata scan as one aggregate)."""
+    from maplibre_tile_spec_spark.operators import schema_infer as SI
+
+    ev = tables.load(spark, sf_dir, "events")
+    part = tables.load(spark, sf_dir, "part")
+    orders = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    json_obs = SI.observations_from_json(ev, "props")
+    synthetic = (
+        part.select(F.lit("size_like").alias("prop"), SI.classify_value(F.col("p_size").cast("string")).alias("obs_type"))
+        .unionByName(
+            orders.select(
+                F.lit("size_like").alias("prop"),
+                SI.classify_value((F.col("o_orderkey") + 3000000000).cast("string")).alias("obs_type"),
+            )
+        )
+        .unionByName(
+            li.select(
+                F.lit("price_like").alias("prop"),
+                SI.classify_value(F.format_string("%.2f", F.col("l_extendedprice"))).alias("obs_type"),
+            )
+        )
+        .unionByName(
+            li.select(
+                F.lit("price_like").alias("prop"),
+                SI.classify_value(F.col("l_linenumber").cast("string")).alias("obs_type"),
+            )
+        )
+        .unionByName(
+            li.select(
+                F.lit("flag_like").alias("prop"),
+                SI.classify_value(F.when(F.col("l_returnflag") == "R", "true").otherwise("false")).alias("obs_type"),
+            )
+        )
+        .unionByName(
+            part.select(F.lit("mixed").alias("prop"), SI.classify_value(F.col("p_size").cast("string")).alias("obs_type"))
+        )
+        .unionByName(
+            part.select(F.lit("mixed").alias("prop"), SI.classify_value(F.col("p_brand")).alias("obs_type"))
+        )
+    )
+    return SI.unify(json_obs.unionByName(synthetic))
+
+
+def _sql_schema_inference() -> str:
+    from maplibre_tile_spec_spark.operators.schema_infer import UNIFY_SQL_CASE, classify_sql
+
+    return f"""
+WITH json_obs AS (
+  SELECT u.k AS prop, {classify_sql("json_extract_string(props, '$.' || u.k)")} AS obs_type
+  FROM events, unnest(json_keys(props)) AS u(k)
+),
+synthetic AS (
+  SELECT 'size_like' AS prop, {classify_sql("CAST(p_size AS VARCHAR)")} AS obs_type FROM part
+  UNION ALL
+  SELECT 'size_like', {classify_sql("CAST(o_orderkey + 3000000000 AS VARCHAR)")} FROM orders
+  UNION ALL
+  SELECT 'price_like', {classify_sql("printf('%.2f', l_extendedprice)")} FROM lineitem
+  UNION ALL
+  SELECT 'price_like', {classify_sql("CAST(l_linenumber AS VARCHAR)")} FROM lineitem
+  UNION ALL
+  SELECT 'flag_like', {classify_sql("CASE WHEN l_returnflag = 'R' THEN 'true' ELSE 'false' END")} FROM lineitem
+  UNION ALL
+  SELECT 'mixed', {classify_sql("CAST(p_size AS VARCHAR)")} FROM part
+  UNION ALL
+  SELECT 'mixed', {classify_sql("p_brand")} FROM part
+),
+all_obs AS (SELECT * FROM json_obs UNION ALL SELECT * FROM synthetic),
+flags AS (
+  SELECT prop, count(*) AS n_obs,
+         max(CASE WHEN obs_type = 'string' THEN 1 ELSE 0 END) AS has_str,
+         max(CASE WHEN obs_type = 'boolean' THEN 1 ELSE 0 END) AS has_bool,
+         max(CASE WHEN obs_type = 'double' THEN 1 ELSE 0 END) AS has_dbl,
+         max(CASE WHEN obs_type = 'int64' THEN 1 ELSE 0 END) AS has_i64,
+         max(CASE WHEN obs_type = 'int32' THEN 1 ELSE 0 END) AS has_i32
+  FROM all_obs GROUP BY prop
+)
+SELECT prop, {UNIFY_SQL_CASE} AS unified_type, CAST(n_obs AS BIGINT) AS n_obs
+FROM flags
+"""
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate nearest neighbors (scale path; rows-only
     driver check — pytest measures ≥0.9 recall vs the exact oracle)."""
@@ -803,6 +887,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": q_quality_score,
     "token_counts": q_token_counts,
     "fingerprints": q_fingerprints,
+    "schema_inference": q_schema_inference,
     # rows-only checks below (no SQL oracle):
     "simhash_pairs": q_simhash_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -833,4 +918,5 @@ ORACLES: dict[str, str] = {
     "quality_score": _sql_quality_score(),
     "token_counts": _sql_token_counts(),
     "fingerprints": _sql_fingerprints(),
+    "schema_inference": _sql_schema_inference(),
 }

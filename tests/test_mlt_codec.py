@@ -236,3 +236,29 @@ class TestSelfRoundtrip:
         lengths = np.array([2, 3, 1])  # "he", "llo", "_"
         compressed = bytes([0, 1, 2, 255, ord("!")])
         assert C.fsst_decode(table, lengths, compressed) == b"hello_!"
+
+
+class TestSharedDictStruct:
+    def test_roundtrip(self):
+        rng = np.random.RandomState(3)
+        g = _mk_geometry([C.MLT_POINT] * 4, rng)
+        struct = C.StructColumn(
+            "name",
+            [
+                ("", ["Berlin", "Paris", None, "Berlin"]),
+                (":en", ["Berlin", "Paris", "Rome", None]),
+                (":de", [None, None, "Rom", "Berlin"]),
+            ],
+        )
+        tile = C.encode_tile([C.LayerData("place", 4096, g, ids=np.arange(4), structs=[struct])])
+        la = C.decode_tile(tile)[0]
+        assert la.props["name"] == ["Berlin", "Paris", None, "Berlin"]
+        assert la.props["name:en"] == ["Berlin", "Paris", "Rome", None]
+        assert la.props["name:de"] == [None, None, "Rom", "Berlin"]
+
+    def test_empty_child(self):
+        g = _mk_geometry([C.MLT_POINT] * 2, np.random.RandomState(1))
+        struct = C.StructColumn("name", [("", ["A", "B"]), (":fr", [None, None])])
+        la = C.decode_tile(C.encode_tile([C.LayerData("p", 4096, g, ids=np.arange(2), structs=[struct])]))[0]
+        assert la.props["name"] == ["A", "B"]
+        assert la.props["name:fr"] == []  # zero-stream marker for empty child

@@ -1,0 +1,117 @@
+"""Multimodal column plumbing + structured-streaming operators."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from maplibre_tile_spec_spark.operators import multimodal as MM
+from maplibre_tile_spec_spark.sources import synth, tables
+from maplibre_tile_spec_spark.streaming import stream_ops
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = synth.synthesize_documents(spark, 300, seed=42)
+    refs = MM.extract_media_refs(docs).cache()
+    return refs, MM.synthesize_media(spark, refs).cache()
+
+
+class TestMultimodal:
+    def test_media_schema_and_determinism(self, spark, media):
+        refs, m = media
+        assert m.count() == refs.select("media_ref").distinct().count()
+        r = m.first()
+        assert r.payload[:4] == b"MMX1"
+        assert r.kind in ("image", "audio", "video")
+        # determinism across partitioning
+        m2 = MM.synthesize_media(spark, refs.repartition(5))
+        a = {(r.media_ref, bytes(r.payload)) for r in m.collect()}
+        b = {(r.media_ref, bytes(r.payload)) for r in m2.collect()}
+        assert a == b
+
+    def test_features(self, media):
+        _, m = media
+        f = MM.media_features(m)
+        rows = f.collect()
+        assert len(rows) == m.count()
+        assert all(r.n_bytes > 15 and 0 <= r.mean_byte <= 255 for r in rows)
+
+    def test_resize_and_frames(self, media):
+        _, m = media
+        rz = MM.resize_images(m, target=8).collect()
+        assert all(len(bytes(r.pixels)) == 64 for r in rz)
+        n_images = m.filter(F.col("kind") == "image").count()
+        assert len(rz) == n_images
+        fr = MM.sample_frames(m, every_n=5)
+        vids = {r.media_ref: r.n_frames for r in m.filter(F.col("kind") == "video").collect()}
+        per_vid = {r.media_ref: c for r, c in [(r, r["count"]) for r in fr.groupBy("media_ref").count().collect()]}
+        for ref, n_frames in vids.items():
+            assert per_vid[ref] == (n_frames - 1) // 5 + 1
+
+    def test_real_format_stub_raises(self):
+        with pytest.raises(NotImplementedError):
+            MM._parse_header(b"\xff\xd8\xff\xe0 fake jpeg")
+
+
+class TestStreaming:
+    def test_streaming_tile_counts_matches_batch(self, spark, sf_dir, tmp_path):
+        # stream the events parquet through readStream and compare to batch
+        # (file stream sources require a directory, so stage the file)
+        import shutil
+
+        stage = tmp_path / "events_stream"
+        stage.mkdir()
+        shutil.copy(os.path.join(sf_dir, "events.parquet"), stage / "events.parquet")
+        ev_path = str(stage)
+        schema = spark.read.parquet(ev_path).schema
+        pts = lambda df: df.select(  # noqa: E731
+            F.col("ts").cast("timestamp").alias("ts"),  # NTZ → TZ for watermark
+            (F.lit(-125.0) + (F.col("event_id") * 2654435761 % 1000000) / 1000000.0 * 59.0).alias("lon"),
+            (F.lit(24.0) + ((F.col("event_id") * 40503 + 7) % 1000000) / 1000000.0 * 25.0).alias("lat"),
+        )
+        stream = spark.readStream.schema(schema).parquet(ev_path)
+        out = stream_ops.streaming_tile_counts(pts(stream), zoom=8, window="1 day")
+        # complete mode: append would withhold windows the watermark hasn't
+        # closed (the last day of data), which is correct streaming behavior
+        # but makes the batch comparison awkward
+        q = stream_ops.run_stream_to_memory(out, "tiles_stream", output_mode="complete")
+        try:
+            got = {
+                (r.window_start, r.x, r.y): r.n_points
+                for r in spark.sql("SELECT * FROM tiles_stream").collect()
+            }
+        finally:
+            q.stop()
+        batch = (
+            pts(spark.read.parquet(ev_path))
+            .groupBy(
+                F.window("ts", "1 day").alias("w"),
+                synth.TM.lon_to_tile_x(F.col("lon"), 8).alias("x"),
+                synth.TM.lat_to_tile_y(F.col("lat"), 8).alias("y"),
+            )
+            .agg(F.count("*").alias("n"))
+        )
+        expected = {(r["w"].start, r.x, r.y): r.n for r in batch.collect()}
+        assert got == expected
+        assert len(got) > 10
+
+    def test_streaming_sessionize(self, spark, sf_dir, tmp_path):
+        import shutil
+
+        stage = tmp_path / "events_stream2"
+        stage.mkdir()
+        shutil.copy(os.path.join(sf_dir, "events.parquet"), stage / "events.parquet")
+        ev_path = str(stage)
+        schema = spark.read.parquet(ev_path).schema
+        stream = spark.readStream.schema(schema).parquet(ev_path).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        out = stream_ops.streaming_sessionize(stream)
+        q = stream_ops.run_stream_to_memory(out, "sess_stream")
+        try:
+            rows = spark.sql("SELECT * FROM sess_stream").collect()
+        finally:
+            q.stop()
+        assert len(rows) > 0
+        assert all(r.session_start <= r.session_end and r.n_events >= 1 for r in rows)

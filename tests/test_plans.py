@@ -1,0 +1,77 @@
+"""Physical-plan shape assertions — the scale story, made regression-checkable.
+
+At 100 TB the difference between a right and wrong plan is not style:
+filters must reach the parquet scan, projections must prune columns,
+dimension joins must broadcast, the pyramid join must stay a hash join
+(never a nested loop), and pure-Catalyst operators must contain zero
+Python eval nodes.
+"""
+
+import pytest
+
+from maplibre_tile_spec_spark import queries as Q
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+class TestPlanShapes:
+    def test_tile_assign_prunes_columns(self, spark, sf_dir):
+        plan = plan_of(Q.q_tile_assign(spark, sf_dir))
+        # events has 6 columns; the scan must read only event_id
+        assert "ReadSchema: struct<event_id:bigint>" in plan
+
+    def test_tpch_q1_pushes_filter_down(self, spark, sf_dir):
+        plan = plan_of(Q.q_tpch_q1(spark, sf_dir))
+        assert "PushedFilters:" in plan
+        assert "LessThanOrEqual(l_shipdate" in plan
+
+    def test_revenue_by_nation_broadcasts_dims(self, spark, sf_dir):
+        plan = plan_of(Q.q_revenue_by_nation(spark, sf_dir))
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert "SortMergeJoin" not in plan
+
+    def test_quadkey_join_is_hash_join_not_nested_loop(self, spark, sf_dir):
+        plan = plan_of(Q.q_quadkey_pyramid_join(spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_pip_join_broadcasts_cover(self, spark, sf_dir):
+        plan = plan_of(Q.q_pip_join(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan
+
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "tile_assign",
+            "tile_pyramid_rollup",
+            "zigzag_delta_stream",
+            "rle_runs",
+            "tpch_q1",
+            "top_orders_per_customer",
+            "revenue_by_nation",
+            "dedup_exact",
+            "text_stats",
+            "cosine_topk",
+            "sessionize_events",
+            "minhash_lsh_pairs",
+            "ngram_jaccard",
+            "lang_id",
+            "quality_score",
+            "token_counts",
+            "fingerprints",
+            "schema_inference",
+        ],
+    )
+    def test_pure_catalyst_operators_have_no_python(self, spark, sf_dir, name):
+        plan = plan_of(Q.QUERIES[name](spark, sf_dir))
+        assert "BatchEvalPython" not in plan, f"{name} fell back to row-Python"
+        assert "ArrowEvalPython" not in plan, f"{name} uses a pandas UDF unnecessarily"
+        assert "MapInPandas" not in plan, f"{name} uses mapInPandas unnecessarily"
+
+    def test_partial_aggregation_before_shuffle(self, spark, sf_dir):
+        # map-side combine: two HashAggregates around the Exchange
+        plan = plan_of(Q.q_tile_assign(spark, sf_dir))
+        assert plan.count("HashAggregate") >= 2
+        assert "Exchange hashpartitioning" in plan
