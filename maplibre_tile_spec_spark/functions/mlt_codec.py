@@ -411,8 +411,17 @@ class DecodedLayer:
     index_buffer: np.ndarray | None = None
 
 
-def decode_tile(buf: bytes) -> list[DecodedLayer]:
-    layers = []
+def decode_tile(
+    buf: bytes,
+    layers: set[str] | None = None,
+    columns: set[str] | None = None,
+) -> list[DecodedLayer]:
+    """Decode a tile; ``layers``/``columns`` enable decode-side projection
+    pushdown (rust/mlt/src/decoder/decode.rs:19-64 analog): unselected
+    layers are skipped by advancing over their framed bytes without
+    parsing, unselected property columns advance by stream byte-length
+    without decoding payloads."""
+    out = []
     pos = 0
     n = len(buf)
     while pos < n:
@@ -423,16 +432,30 @@ def decode_tile(buf: bytes) -> list[DecodedLayer]:
         tag = int(v[0])
         body_end = start + length
         if tag == TAG_EMBEDDED:
-            layers.append(_decode_layer(buf, pos, body_end))
+            if layers is not None:
+                name, _ = _get_string(buf, pos)
+                if name not in layers:
+                    pos = body_end
+                    continue
+            out.append(_decode_layer(buf, pos, body_end, columns=columns))
         pos = body_end
-    return layers
+    return out
 
 
-def _decode_layer(buf: bytes, pos: int, end: int) -> DecodedLayer:
+def _skip_scalar_column(buf: bytes, pos: int, scalar: str, nullable: bool) -> int:
+    """Advance over a scalar property column without decoding payloads."""
+    n_streams = 1 + (1 if nullable else 0)
+    for _ in range(n_streams):
+        meta, pos = K.unpack_stream_metadata(buf, pos)
+        pos += meta["byte_length"]
+    return pos
+
+
+def _decode_layer(buf: bytes, pos: int, end: int, columns: set[str] | None = None) -> DecodedLayer:
     name, pos = _get_string(buf, pos)
     v, pos = K.varint_decode(buf, 2, pos)
     extent, n_cols = int(v[0]), int(v[1])
-    columns = []
+    col_meta = []
     for _ in range(n_cols):
         v, pos = K.varint_decode(buf, 1, pos)
         tc = int(v[0])
@@ -449,14 +472,14 @@ def _decode_layer(buf: bytes, pos: int, end: int) -> DecodedLayer:
                 if ctc >= 10:
                     ch_name, pos = _get_string(buf, pos)
                 children.append((ctc, ch_name))
-        columns.append((tc, cname, children))
+        col_meta.append((tc, cname, children))
 
     ids = None
     geometry = None
     triangles = None
     index_buffer = None
     props: dict[str, list] = {}
-    for tc, cname, children in columns:
+    for tc, cname, children in col_meta:
         if tc in (TC_ID_U32, TC_ID_U32_NULL, TC_ID_U64, TC_ID_U64_NULL):
             if tc & 1:  # nullable id: skip present stream
                 meta, pos = K.unpack_stream_metadata(buf, pos)
@@ -473,15 +496,25 @@ def _decode_layer(buf: bytes, pos: int, end: int) -> DecodedLayer:
         else:
             scalar = _CODE_TO_SCALAR[tc & ~1]
             nullable = bool(tc & 1)
+            wanted = columns is None or cname in columns
             if scalar == "string":
                 v, pos = K.varint_decode(buf, 1, pos)
                 n_streams = int(v[0])
                 if n_streams == 0:
-                    props[cname] = []
+                    if wanted:
+                        props[cname] = []
+                    continue
+                if not wanted:  # projection pushdown: jump stream payloads
+                    for _ in range(n_streams):
+                        meta, pos = K.unpack_stream_metadata(buf, pos)
+                        pos += meta["byte_length"]
                     continue
                 values, pos = _decode_string_column(buf, pos, n_streams, nullable)
                 props[cname] = values
             else:
+                if not wanted:
+                    pos = _skip_scalar_column(buf, pos, scalar, nullable)
+                    continue
                 values, pos = _decode_scalar_column(buf, pos, scalar, nullable)
                 props[cname] = values
     return DecodedLayer(name, extent, ids, geometry, props, triangles, index_buffer)
@@ -770,6 +803,23 @@ def geometry_to_features(g: GeometryColumn) -> list[tuple[int, list[list[np.ndar
         else:
             raise ValueError(f"unknown geometry type {t}")
     return out
+
+
+# ---------------------------------------------------------------------------
+# whole-tile compression (serving-layer option, EncodingUtils.java:31-47)
+# ---------------------------------------------------------------------------
+
+
+def gzip_tile(buf: bytes) -> bytes:
+    import gzip as _gzip
+
+    return _gzip.compress(buf, mtime=0)  # mtime=0: deterministic output
+
+
+def gunzip_tile(buf: bytes) -> bytes:
+    import gzip as _gzip
+
+    return _gzip.decompress(buf)
 
 
 # ---------------------------------------------------------------------------
