@@ -38,35 +38,45 @@ def _features_to_geometry_column(
 ) -> tuple[C.GeometryColumn, np.ndarray]:
     """Parse + quantize a tile group's features into the SoA topology.
 
-    Returns (geometry column, hilbert sort order applied to the input).
+    All coordinates of the group are quantized in ONE vectorized pass
+    (per-feature numpy-call overhead dominated the kernel before), then
+    sliced back per feature. Returns (geometry column, hilbert sort order
+    applied to the input).
     """
     parsed = [W.parse_wkt(w) for w in wkts]
-    # sort by hilbert index of the quantized first vertex (reference sort)
-    first = np.array([[p[1][0, 0], p[1][0, 1]] for p in parsed])
-    qx, qy = TM.np_quantize_to_extent(
-        first[:, 0], first[:, 1], np.full(len(parsed), tile_x), np.full(len(parsed), tile_y), zoom, extent
+    # single quantization pass over every vertex of the group
+    all_coords = np.vstack([p[1] for p in parsed])
+    counts = np.array([p[1].shape[0] for p in parsed], dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    aqx, aqy = TM.np_quantize_to_extent(
+        all_coords[:, 0],
+        all_coords[:, 1],
+        np.full(all_coords.shape[0], tile_x),
+        np.full(all_coords.shape[0], tile_y),
+        zoom,
+        extent,
     )
-    order = np.argsort(K.hilbert_encode(qx, qy, order=12), kind="stable")
+    # sort by hilbert index of the quantized first vertex (reference sort)
+    order = np.argsort(K.hilbert_encode(aqx[starts], aqy[starts], order=12), kind="stable")
 
-    types, num_geoms, num_parts, num_rings, verts = [], [], [], [], []
+    types, num_geoms, num_parts, num_rings = [], [], [], []
+    vert_chunks: list[np.ndarray] = []
     contains_poly = any(p[0] in (W.GT_POLYGON, W.GT_MULTIPOLYGON) for p in parsed)
     for i in order:
         gt, coords, structure = parsed[i]
-        cqx, cqy = TM.np_quantize_to_extent(
-            coords[:, 0],
-            coords[:, 1],
-            np.full(coords.shape[0], tile_x),
-            np.full(coords.shape[0], tile_y),
-            zoom,
-            extent,
-        )
+        base = starts[i]
+        cqx = aqx[base : base + counts[i]]
+        cqy = aqy[base : base + counts[i]]
         types.append(gt - 1)  # WKT codes 1-6 → MLT ordinals 0-5
         ci = 0
 
         def push(n: int, drop_close: bool) -> None:
             nonlocal ci
             take = n - 1 if (drop_close and n > 1) else n
-            verts.extend(np.column_stack([cqx[ci : ci + take], cqy[ci : ci + take]]).ravel().tolist())
+            chunk = np.empty(take * 2, dtype=np.int64)
+            chunk[0::2] = cqx[ci : ci + take]
+            chunk[1::2] = cqy[ci : ci + take]
+            vert_chunks.append(chunk)
             ci += n
 
         if gt == W.GT_POINT:
@@ -100,7 +110,7 @@ def _features_to_geometry_column(
         num_geometries=np.array(num_geoms, dtype=np.int64),
         num_parts=np.array(num_parts, dtype=np.int64),
         num_rings=np.array(num_rings, dtype=np.int64),
-        vertices=np.array(verts, dtype=np.int64),
+        vertices=np.concatenate(vert_chunks) if vert_chunks else np.empty(0, np.int64),
     )
     return g, order
 
