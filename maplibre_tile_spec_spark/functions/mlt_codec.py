@@ -89,6 +89,7 @@ class PropColumn:
     type: str  # key of _SCALAR_CODES
     values: list  # python values, None = null
     nullable: bool = True
+    use_fsst: bool = False  # consider the FSST-dictionary string candidate
 
 
 @dataclass
@@ -111,6 +112,7 @@ class LayerData:
     has_long_ids: bool = False
     props: list[PropColumn] = field(default_factory=list)
     structs: list[StructColumn] = field(default_factory=list)
+    tessellate: bool = False  # emit the 7-stream pretessellated layout
 
 
 # ---------------------------------------------------------------------------
@@ -250,6 +252,86 @@ def encode_geometry_column(g: GeometryColumn, use_morton: bool = True) -> tuple[
     return num_streams + 2, out + m_off_meta + m_off_enc.payload + m_dict_meta + m_dict_payload
 
 
+def encode_geometry_column_pretessellated(g: GeometryColumn) -> tuple[int, bytes]:
+    """Pretessellated + outlines layout (7 streams, GeometryEncoder.
+    encodePretessellatedGeometryColumn:40-416 with outlines): types,
+    GEOMETRIES (written even when empty), PARTS, RINGS, TRIANGLES,
+    OFFSET(INDEX), DATA(vertex buffer). Triangles come from our own ear
+    clipper (functions/tessellation.py) — format-valid, not byte-identical
+    to earcut4j's ordering. Triangle indices are local to each feature's
+    vertex range."""
+    from maplibre_tile_spec_spark.functions import tessellation as TS
+
+    xs = g.vertices[0::2].astype(np.int64)
+    ys = g.vertices[1::2].astype(np.int64)
+    if xs.shape[0] == 0:
+        raise ValueError("geometry column contains no vertices")
+
+    # walk features to tessellate polygons
+    n_tris: list[int] = []
+    index_buffer: list[int] = []
+    vi = gi = pi = ri = 0
+    contains_poly = bool(np.isin(g.types, (MLT_POLYGON, MLT_MULTIPOLYGON)).any())
+    vb = np.column_stack([xs, ys]).astype(float)
+
+    def rings_of(nr: int):
+        nonlocal vi, ri
+        rings = []
+        for _ in range(nr):
+            n = int(g.num_rings[ri]); ri += 1
+            rings.append(vb[vi : vi + n])
+            vi += n
+        return rings
+
+    for t in g.types.tolist():
+        if t == MLT_POINT:
+            vi += 1
+        elif t == MLT_MULTIPOINT:
+            vi += int(g.num_geometries[gi]); gi += 1
+        elif t == MLT_LINESTRING:
+            if contains_poly:
+                vi += int(g.num_rings[ri]); ri += 1
+            else:
+                vi += int(g.num_parts[pi]); pi += 1
+        elif t == MLT_MULTILINESTRING:
+            nl = int(g.num_geometries[gi]); gi += 1
+            for _ in range(nl):
+                if contains_poly:
+                    vi += int(g.num_rings[ri]); ri += 1
+                else:
+                    vi += int(g.num_parts[pi]); pi += 1
+        elif t == MLT_POLYGON:
+            nr = int(g.num_parts[pi]); pi += 1
+            start = vi
+            tris = TS.triangulate(rings_of(nr))
+            n_tris.append(tris.shape[0])
+            index_buffer.extend((tris.ravel()).tolist())
+            _ = start
+        else:  # MULTIPOLYGON
+            npoly = int(g.num_geometries[gi]); gi += 1
+            total = 0
+            for _ in range(npoly):
+                nr = int(g.num_parts[pi]); pi += 1
+                tris = TS.triangulate(rings_of(nr))
+                total += tris.shape[0]
+                index_buffer.extend(tris.ravel().tolist())
+            n_tris.append(total)
+
+    out = _int_stream(g.types.astype(np.int64), False, K.PST_LENGTH, 0)
+    out += _int_stream(np.asarray(g.num_geometries, dtype=np.int64), False, K.PST_LENGTH, LT_GEOMETRIES)
+    out += _int_stream(np.asarray(g.num_parts, dtype=np.int64), False, K.PST_LENGTH, LT_PARTS)
+    out += _int_stream(np.asarray(g.num_rings, dtype=np.int64), False, K.PST_LENGTH, LT_RINGS)
+    out += _int_stream(np.array(n_tris, dtype=np.int64), False, K.PST_LENGTH, LT_TRIANGLES)
+    out += _int_stream(np.array(index_buffer, dtype=np.int64), False, K.PST_OFFSET, OT_INDEX)
+    zz = K.vec2_zigzag_delta_encode(xs, ys)
+    out += K.pack_stream_metadata(
+        K.PST_DATA, DT_VERTEX, K.LLT_COMPONENTWISE_DELTA, K.LLT_NONE, K.PLT_VARINT,
+        zz.shape[0], len(K.varint_encode(zz)),
+    )
+    out += K.varint_encode(zz)
+    return 7, out
+
+
 # ---------------------------------------------------------------------------
 # property column encode
 # ---------------------------------------------------------------------------
@@ -266,7 +348,7 @@ def encode_prop_column(col: PropColumn) -> bytes:
         if col.nullable:
             body += _boolean_stream(present, K.PST_PRESENT)
             n_streams += 1
-        body_str, n_str = _encode_string_streams(nn)
+        body_str, n_str = _encode_string_streams(nn, use_fsst=col.use_fsst)
         return _varint1(n_streams + n_str) + body + body_str
     if col.nullable:
         out += _boolean_stream(present, K.PST_PRESENT)
@@ -286,8 +368,9 @@ def encode_prop_column(col: PropColumn) -> bytes:
     return out
 
 
-def _encode_string_streams(values: list[str]) -> tuple[bytes, int]:
-    """Plain vs dictionary by size (StringEncoder.encode, no-FSST path)."""
+def _encode_string_streams(values: list[str], use_fsst: bool = False) -> tuple[bytes, int]:
+    """Candidate argmin among plain / dict / fsst-dict by byte size
+    (StringEncoder.encode:134-172; fsst optional like --enable-fsst)."""
     utf8 = [v.encode("utf-8") for v in values]
     # plain: LENGTH(VAR_BINARY) + DATA(NONE)
     lengths = np.array([len(b) for b in utf8], dtype=np.int64)
@@ -311,10 +394,24 @@ def _encode_string_streams(values: list[str]) -> tuple[bytes, int]:
     dic = _int_stream(dlengths, False, K.PST_LENGTH, LT_DICTIONARY)
     dic += K.pack_stream_metadata(K.PST_DATA, DT_SINGLE, K.LLT_NONE, K.LLT_NONE, K.PLT_NONE, len(dict_list), len(ddata))
     dic += ddata
-    dic += _int_stream(idx, False, K.PST_OFFSET, OT_STRING)
-    if len(plain) <= len(dic):
-        return plain, 2
-    return dic, 3
+    offsets_stream = _int_stream(idx, False, K.PST_OFFSET, OT_STRING)
+    dic += offsets_stream
+
+    candidates = [(len(plain), plain, 2), (len(dic), dic, 3)]
+    if use_fsst and ddata:
+        table, sym_lens, compressed = fsst_encode(ddata)
+        if table:
+            fs = _int_stream(sym_lens, False, K.PST_LENGTH, LT_SYMBOL)
+            fs += K.pack_stream_metadata(K.PST_DATA, DT_FSST, K.LLT_NONE, K.LLT_NONE, K.PLT_NONE, len(sym_lens), len(table))
+            fs += table
+            fs += _int_stream(dlengths, False, K.PST_LENGTH, LT_DICTIONARY)
+            fs += K.pack_stream_metadata(K.PST_DATA, DT_SINGLE, K.LLT_NONE, K.LLT_NONE, K.PLT_NONE, len(dict_list), len(compressed))
+            fs += compressed
+            fs += offsets_stream
+            candidates.append((len(fs), fs, 5))
+    candidates.sort(key=lambda c: c[0])
+    _, body, n_streams = candidates[0]
+    return body, n_streams
 
 
 # ---------------------------------------------------------------------------
@@ -375,7 +472,10 @@ def encode_layer(layer: LayerData) -> bytes:
         ids = np.asarray(layer.ids, dtype=np.int64)
         body += _int_stream(ids, False, K.PST_DATA, DT_NONE, bits=64 if layer.has_long_ids else 32)
     meta += _varint1(TC_GEOMETRY)
-    n_geo_streams, geo_bytes = encode_geometry_column(layer.geometry)
+    if layer.tessellate:
+        n_geo_streams, geo_bytes = encode_geometry_column_pretessellated(layer.geometry)
+    else:
+        n_geo_streams, geo_bytes = encode_geometry_column(layer.geometry)
     body += _varint1(n_geo_streams) + geo_bytes
     for col in layer.props:
         meta += _varint1(_SCALAR_CODES[col.type] + (1 if col.nullable else 0)) + _put_string(col.name)
@@ -806,6 +906,49 @@ def geometry_to_features(g: GeometryColumn) -> list[tuple[int, list[list[np.ndar
 
 
 # ---------------------------------------------------------------------------
+# vectorized decode → Arrow (the TS decoder's FeatureTable-of-vectors analog,
+# ts/src/mltDecoder.ts:48-150: columnar in-memory, no row materialization)
+# ---------------------------------------------------------------------------
+
+
+def decode_tile_to_arrow(buf: bytes, layers: set[str] | None = None, columns: set[str] | None = None):
+    """Decode a tile into one pyarrow RecordBatch per layer: id column,
+    geometry as (type + per-feature vertex list offsets), property columns
+    as Arrow arrays. Feeds straight into pandas/Spark without per-row
+    Python objects."""
+    import pyarrow as pa
+
+    out = {}
+    for la in decode_tile(buf, layers=layers, columns=columns):
+        n = la.geometry.types.shape[0] if la.geometry is not None else 0
+        arrays: dict[str, pa.Array] = {}
+        if la.ids is not None:
+            arrays["id"] = pa.array(la.ids, type=pa.int64())
+        if la.geometry is not None:
+            arrays["geom_type"] = pa.array(la.geometry.types, type=pa.int32())
+            # per-feature vertex slices as a ListArray of (x,y) pairs
+            feats = geometry_to_features(la.geometry)
+            flat = []
+            offsets = [0]
+            for _gt, parts in feats:
+                nv = 0
+                for rings in parts:
+                    for ring in rings:
+                        flat.append(ring.ravel())
+                        nv += ring.shape[0] * 2
+                offsets.append(offsets[-1] + nv)
+            values = np.concatenate(flat) if flat else np.empty(0, np.int64)
+            arrays["vertices"] = pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()), pa.array(values, type=pa.int64())
+            )
+        for k, v in la.props.items():
+            if len(v) == n:
+                arrays[k] = pa.array(v)
+        out[la.name] = pa.RecordBatch.from_pydict(arrays)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # whole-tile compression (serving-layer option, EncodingUtils.java:31-47)
 # ---------------------------------------------------------------------------
 
@@ -827,6 +970,53 @@ def gunzip_tile(buf: bytes) -> bytes:
 # FsstEncoder.decode semantics: symbols ≤8 bytes, escape byte 255 copies
 # the next byte verbatim; java/.../converter/encodings/fsst/Fsst.java:17-45)
 # ---------------------------------------------------------------------------
+
+
+def fsst_encode(corpus: bytes, max_symbols: int = 254, sample_limit: int = 30000) -> tuple[bytes, np.ndarray, bytes]:
+    """Greedy FSST symbol-table construction + compression.
+
+    Independent implementation of the FSST *contract* (symbols ≤ 8 bytes,
+    escape byte 255 copies the next byte verbatim — Fsst.java:7-45): the
+    reference builds its table with 6 sampled iterations
+    (SymbolTableBuilder.java:46-56); we use a single-pass substring-gain
+    greedy, so compressed bytes differ from the Java encoder while remaining
+    decodable by any conforming decoder (round-trips through fsst_decode).
+    Returns (symbol_table, symbol_lengths, compressed)."""
+    sample = corpus[:sample_limit]
+    gains: dict[bytes, int] = {}
+    n = len(sample)
+    for ln in (2, 3, 4, 6, 8):
+        counts: dict[bytes, int] = {}
+        step = 1 if ln <= 3 else 2
+        for i in range(0, n - ln + 1, step):
+            s = sample[i : i + ln]
+            counts[s] = counts.get(s, 0) + 1
+        for s, c in counts.items():
+            if c >= 2:
+                gains[s] = max(gains.get(s, 0), (len(s) - 1) * c)
+    symbols = [s for s, _ in sorted(gains.items(), key=lambda kv: (-kv[1], kv[0]))[:max_symbols]]
+    # longest-match lookup keyed by prefix
+    by_len: dict[int, dict[bytes, int]] = {}
+    for code, s in enumerate(symbols):
+        by_len.setdefault(len(s), {})[s] = code
+    lens_desc = sorted(by_len, reverse=True)
+    out = bytearray()
+    i = 0
+    n = len(corpus)
+    while i < n:
+        for ln in lens_desc:
+            code = by_len[ln].get(corpus[i : i + ln])
+            if code is not None:
+                out.append(code)
+                i += ln
+                break
+        else:
+            out.append(255)
+            out.append(corpus[i])
+            i += 1
+    table = b"".join(symbols)
+    lengths = np.array([len(s) for s in symbols], dtype=np.int64)
+    return table, lengths, bytes(out)
 
 
 def fsst_decode(symbol_table: bytes, symbol_lengths: np.ndarray, compressed: bytes) -> bytes:

@@ -262,3 +262,69 @@ class TestSharedDictStruct:
         la = C.decode_tile(C.encode_tile([C.LayerData("p", 4096, g, ids=np.arange(2), structs=[struct])]))[0]
         assert la.props["name"] == ["A", "B"]
         assert la.props["name:fr"] == []  # zero-stream marker for empty child
+
+
+class TestPretessellated:
+    def test_tessellated_layer_roundtrip(self):
+        rng = np.random.RandomState(9)
+        g = _mk_geometry([C.MLT_POLYGON, C.MLT_POINT, C.MLT_MULTIPOLYGON, C.MLT_LINESTRING], rng)
+        layer = C.LayerData("land", 4096, g, ids=np.arange(4), tessellate=True)
+        tile = C.encode_tile([layer])
+        la = C.decode_tile(tile)[0]
+        assert np.array_equal(la.geometry.types, g.types)
+        assert np.array_equal(la.geometry.vertices, g.vertices)
+        assert la.triangles is not None and la.index_buffer is not None
+        assert la.triangles.sum() * 3 == la.index_buffer.shape[0]
+        # every polygon with r rings and v verts tessellates to v - 2r + ... >= 1 triangle
+        assert (la.triangles >= 1).all()
+
+    def test_matches_reference_stream_layout(self):
+        """Same 7-stream sequence as the reference's polygon fixtures."""
+        from maplibre_tile_spec_spark.functions import kernels as K
+        rng = np.random.RandomState(5)
+        g = _mk_geometry([C.MLT_POLYGON], rng)
+        _, geo = C.encode_geometry_column_pretessellated(g)
+        kinds = []
+        pos = 0
+        for _ in range(7):
+            meta, pos = K.unpack_stream_metadata(geo, pos)
+            kinds.append((meta["physical_stream_type"], meta["logical_type"]))
+            pos += meta["byte_length"]
+        assert kinds == [
+            (K.PST_LENGTH, 0),
+            (K.PST_LENGTH, C.LT_GEOMETRIES),
+            (K.PST_LENGTH, C.LT_PARTS),
+            (K.PST_LENGTH, C.LT_RINGS),
+            (K.PST_LENGTH, C.LT_TRIANGLES),
+            (K.PST_OFFSET, C.OT_INDEX),
+            (K.PST_DATA, C.DT_VERTEX),
+        ]
+
+
+class TestFsstEncode:
+    def test_roundtrip_corpus(self):
+        corpus = ("hello world, hello tile, hello spark! " * 50).encode()
+        table, lens, comp = C.fsst_encode(corpus)
+        assert C.fsst_decode(table, lens, comp) == corpus
+        assert len(comp) < len(corpus) * 0.6  # repetitive text compresses
+
+    def test_roundtrip_binaryish(self):
+        rng = np.random.RandomState(0)
+        corpus = rng.randint(0, 256, 2000, dtype=np.uint8).tobytes()
+        table, lens, comp = C.fsst_encode(corpus)
+        assert C.fsst_decode(table, lens, comp) == corpus
+
+    def test_empty(self):
+        table, lens, comp = C.fsst_encode(b"")
+        assert C.fsst_decode(table, lens, comp) == b""
+
+    def test_fsst_string_column_roundtrip(self):
+        g = _mk_geometry([C.MLT_POINT] * 6, np.random.RandomState(2))
+        # highly repetitive values so the fsst-dict candidate wins
+        vals = ["residential_street_primary"] * 3 + ["residential_street_secondary"] * 2 + [None]
+        layer = C.LayerData(
+            "t", 4096, g, ids=np.arange(6),
+            props=[C.PropColumn("class", "string", vals, nullable=True, use_fsst=True)],
+        )
+        la = C.decode_tile(C.encode_tile([layer]))[0]
+        assert la.props["class"] == vals
