@@ -727,6 +727,126 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q3_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority query: 3-way join + filter + group + exact cents."""
+    cust = tables.load(spark, sf_dir, "customer")
+    orders = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    rev_c = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    return (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("o_orderdate") < "1995-03-15")
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev_c).alias("revenue_cents"))
+        .select(
+            F.col("l_orderkey").cast("long"),
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue_cents",
+        )
+    )
+
+
+def _sql_tpch_q3_like() -> str:
+    return """
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+       o_orderpriority,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+"""
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]  # stable across SFs
+
+
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type pivot (fixed value set → conditional aggregates)."""
+    ev = tables.load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .na.fill(0)
+        .select(F.col("user_id").cast("long"), *[F.col(t).cast("long") for t in EVENT_TYPES])
+    )
+
+
+def _sql_pivot_events() -> str:
+    conds = ",\n       ".join(
+        f"CAST(count(CASE WHEN event_type = '{t}' THEN 1 END) AS BIGINT) AS \"{t}\"" for t in EVENT_TYPES
+    )
+    return f"SELECT user_id, {conds} FROM events GROUP BY user_id"
+
+
+def q_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) — grouping-set aggregates."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("l_linestatus"),
+            F.col("n").cast("long"),
+            F.col("qty").cast("long"),
+        )
+    )
+
+
+def _sql_cube_lineitem() -> str:
+    return """
+SELECT COALESCE(l_returnflag, '<all>') AS l_returnflag,
+       COALESCE(l_linestatus, '<all>') AS l_linestatus,
+       count(*) AS n,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_asof_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event paired with the user's most recent order at
+    or before the event timestamp (union + window carry-forward)."""
+    from maplibre_tile_spec_spark.operators.relational import as_of_join
+
+    ev = tables.load(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id").alias("k"), F.col("ts").alias("ev_ts")
+    )
+    orders = tables.load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("ord_ts"),
+        F.col("o_orderkey"),
+    )
+    # deterministic: at most one order per (k, ts): keep max orderkey
+    orders = orders.groupBy("k", "ord_ts").agg(F.max("o_orderkey").alias("o_orderkey"))
+    out = as_of_join(ev, orders, key="k", left_ts="ev_ts", right_ts="ord_ts", right_cols=["o_orderkey"])
+    return out.select(
+        F.col("event_id").cast("long"),
+        F.col("k").cast("long").alias("user_id"),
+        F.col("o_orderkey").cast("long").alias("last_orderkey"),
+    )
+
+
+def _sql_asof_event_order() -> str:
+    return """
+WITH o AS (
+  SELECT o_custkey AS k, o_orderdate AS ord_ts, CAST(max(o_orderkey) AS BIGINT) AS o_orderkey
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id,
+       (SELECT o.o_orderkey FROM o
+        WHERE o.k = e.user_id AND o.ord_ts <= e.ts
+        ORDER BY o.ord_ts DESC LIMIT 1) AS last_orderkey
+FROM events e
+"""
+
+
 def q_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type inference + unification over mixed-type property observations
     (the reference's createTilesetMetadata scan as one aggregate)."""
@@ -888,6 +1008,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_counts": q_token_counts,
     "fingerprints": q_fingerprints,
     "schema_inference": q_schema_inference,
+    "tpch_q3_like": q_tpch_q3_like,
+    "pivot_events": q_pivot_events,
+    "cube_lineitem": q_cube_lineitem,
+    "asof_event_order": q_asof_event_order,
     # rows-only checks below (no SQL oracle):
     "simhash_pairs": q_simhash_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -919,4 +1043,8 @@ ORACLES: dict[str, str] = {
     "token_counts": _sql_token_counts(),
     "fingerprints": _sql_fingerprints(),
     "schema_inference": _sql_schema_inference(),
+    "tpch_q3_like": _sql_tpch_q3_like(),
+    "pivot_events": _sql_pivot_events(),
+    "cube_lineitem": _sql_cube_lineitem(),
+    "asof_event_order": _sql_asof_event_order(),
 }
