@@ -34,12 +34,25 @@ HEADLINE = [
     "quadkey_pyramid_join",
     "zigzag_delta_stream",
     "tpch_q1",
+    "tpch_q3_like",
     "revenue_by_nation",
     "top_orders_per_customer",
+    "asof_event_order",
+    "cube_lineitem",
+    "pivot_events",
     "dedup_exact",
+    "minhash_lsh_pairs",
+    "ngram_jaccard",
+    "simhash_pairs",
+    "lang_id",
+    "quality_score",
     "text_stats",
+    "fingerprints",
+    "schema_inference",
     "cosine_topk",
+    "ann_cosine_topk",
     "sessionize_events",
+    "mlt_tile_encode",
 ]
 
 

@@ -160,34 +160,22 @@ def pip_join(
 # ---------------------------------------------------------------------------
 
 
-def knn_join(
+def _knn_ring_pass(
     queries: DataFrame,
-    points: DataFrame,
-    k_col: str = "k",
-    level: int = 7,
-    ring: int = 2,
-    qid_col: str = "qid",
-    pid_col: str = "pid",
-) -> DataFrame:
-    """Exact k-nearest-neighbors → (qid, pid, dist_km, rank).
+    pts: DataFrame,
+    level: int,
+    ring: int,
+    k_col: str,
+    qid_col: str,
+    pid_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """One cell-ring candidate pass → (resolved top-k rows, resolved qids).
 
-    queries: (qid, lon, lat, k); points: (pid, lon, lat).
-
-    Phase 1: cell-ring candidate join at ``level`` (ring r ⇒ (2r+1)² cells),
-    haversine, windowed top-k. A query is *resolved* iff it found ≥ k
-    candidates and its kth distance < r × cell_size_km(lat) — every
-    unsearched point is provably farther. Phase 2: unresolved queries
-    (rare; hotspot-dependent) take an exact pass, broadcast against all
-    points. Both phases are pure DataFrame ops.
+    A query is *resolved* iff it found ≥ k candidates and its kth distance
+    < ring × cell_size_km(lat) — every unsearched point is provably farther
+    (mercator cells are locally square: size ≈ C·cos(lat)/2^level).
     """
     n = 2**level
-    pts = points.select(
-        F.col(pid_col),
-        F.col("lon").alias("p_lon"),
-        F.col("lat").alias("p_lat"),
-        TM.lon_to_tile_x(F.col("lon"), level).alias("cx"),
-        TM.lat_to_tile_y(F.col("lat"), level).alias("cy"),
-    )
     offs = F.sequence(F.lit(-ring), F.lit(ring))
     q = queries.select(
         qid_col,
@@ -219,16 +207,12 @@ def knn_join(
         G.haversine_km(F.col("lon"), F.col("lat"), F.col("p_lon"), F.col("p_lat")).alias("dist_km"),
     )
     w = Window.partitionBy(qid_col).orderBy(F.col("dist_km").asc(), F.col(pid_col).asc())
-    # persisted: referenced by the resolved branch, the resolution check, and
-    # (via anti-join) the fallback — without it the candidate join re-runs 3×
+    # persisted: referenced by the resolved branch and the resolution check
     topk = (
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= F.col(k_col))
         .persist()
     )
-
-    # resolution bound: cell size (km) at the query latitude, mercator-local
-    cell_km = F.lit(EARTH_CIRCUMFERENCE_KM) * F.cos(F.radians(F.col("lat"))) / F.lit(float(n))
     per_q = topk.groupBy(qid_col).agg(
         F.max("rank").alias("found"),
         F.max("dist_km").alias("kth_dist"),
@@ -243,14 +227,52 @@ def knn_join(
             * (F.lit(EARTH_CIRCUMFERENCE_KM) * F.cos(F.radians(F.col("_lat"))) / F.lit(float(n)))
         )
     ).select(qid_col)
-
     resolved = topk.join(F.broadcast(resolved_ids), qid_col, "left_semi")
-    unresolved_q = queries.join(F.broadcast(resolved_ids), qid_col, "left_anti")
+    return resolved, resolved_ids
 
-    # exact fallback: broadcast the (rare) unresolved queries against all points
+
+def knn_join(
+    queries: DataFrame,
+    points: DataFrame,
+    k_col: str = "k",
+    level: int = 7,
+    ring: int = 2,
+    qid_col: str = "qid",
+    pid_col: str = "pid",
+    expansion_passes: int = 2,
+    ring_growth: int = 4,
+) -> DataFrame:
+    """Exact k-nearest-neighbors → (qid, pid, dist_km, rank).
+
+    queries: (qid, lon, lat, k); points: (pid, lon, lat).
+
+    Iterative cell-ring expansion (the S2 ring-expansion pattern in
+    quadtree coordinates): pass p searches ring·growth^p cells; queries
+    whose kth distance is provably final drop out; the rare remainder after
+    ``expansion_passes`` takes an exact broadcast pass. All passes are pure
+    DataFrame ops over the same bucketed points.
+    """
+    pts = points.select(
+        F.col(pid_col),
+        F.col("lon").alias("p_lon"),
+        F.col("lat").alias("p_lat"),
+        TM.lon_to_tile_x(F.col("lon"), level).alias("cx"),
+        TM.lat_to_tile_y(F.col("lat"), level).alias("cy"),
+    )
+    remaining = queries
+    resolved_parts: list[DataFrame] = []
+    r = ring
+    for _ in range(expansion_passes):
+        resolved, resolved_ids = _knn_ring_pass(remaining, pts, level, r, k_col, qid_col, pid_col)
+        resolved_parts.append(resolved.select(qid_col, pid_col, "dist_km", "rank"))
+        remaining = remaining.join(F.broadcast(resolved_ids), qid_col, "left_anti")
+        r *= ring_growth
+
+    # exact fallback: broadcast the (rare) still-unresolved queries
+    w = Window.partitionBy(qid_col).orderBy(F.col("dist_km").asc(), F.col(pid_col).asc())
     fb_cand = points.select(
         F.col(pid_col), F.col("lon").alias("p_lon"), F.col("lat").alias("p_lat")
-    ).crossJoin(F.broadcast(unresolved_q.select(qid_col, "lon", "lat", k_col)))
+    ).crossJoin(F.broadcast(remaining.select(qid_col, "lon", "lat", k_col)))
     fb = (
         fb_cand.select(
             qid_col,
@@ -260,10 +282,12 @@ def knn_join(
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= F.col(k_col))
+        .select(qid_col, pid_col, "dist_km", "rank")
     )
-    return resolved.select(qid_col, pid_col, "dist_km", "rank").unionByName(
-        fb.select(qid_col, pid_col, "dist_km", "rank")
-    )
+    out = fb
+    for part in resolved_parts:
+        out = out.unionByName(part)
+    return out
 
 
 # ---------------------------------------------------------------------------

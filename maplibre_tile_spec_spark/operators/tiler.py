@@ -115,21 +115,30 @@ def _features_to_geometry_column(
     return g, order
 
 
+GEOM_LAYERS = {1: "poi", 2: "road", 3: "land", 4: "poi", 5: "road", 6: "land"}
+
+
 def encode_tiles(
     features: DataFrame,
     zoom: int,
     extent: int = 4096,
     layer_name: str = "features",
+    layer_col: str | None = None,
     n_salt: int = 1,
     include_doc_refs: bool = False,
 ) -> DataFrame:
-    """features (doc_id, span_offset, wkt, rep_lon, rep_lat) → one row per
-    tile: (z, x, y, n_features, n_vertices, byte_size, tile binary)."""
+    """features (doc_id, span_offset, wkt, rep_lon, rep_lat[, layer]) → one
+    row per tile: (z, x, y, n_features, n_vertices, byte_size, tile binary).
 
+    With ``layer_col`` the kernel encodes one FeatureTable block per
+    thematic layer inside each tile (the reference's per-layer loop,
+    MltConverter.java:408-509); layer blocks concatenate like salted parts.
+    """
+
+    cols = ["doc_id", "span_offset", "wkt"]
     tiled = features.select(
-        "doc_id",
-        "span_offset",
-        "wkt",
+        *cols,
+        (F.col(layer_col) if layer_col else F.lit(layer_name)).alias("_layer"),
         TM.lon_to_tile_x(F.col("rep_lon"), zoom).alias("x"),
         TM.lat_to_tile_y(F.col("rep_lat"), zoom).alias("y"),
     )
@@ -140,30 +149,34 @@ def encode_tiles(
 
     def encode_group(key, pdf):
         x, y, _salt = int(key[0]), int(key[1]), int(key[2])
-        pdf = pdf.sort_values(["doc_id", "span_offset"], ignore_index=True)
-        g, order = _features_to_geometry_column(pdf["wkt"].tolist(), x, y, zoom, extent)
-        props = []
-        if include_doc_refs:
-            docs = pdf["doc_id"].to_numpy()[order].tolist()
-            offs = [int(v) for v in pdf["span_offset"].to_numpy()[order]]
-            props = [
-                C.PropColumn("doc", "string", docs, nullable=True),
-                C.PropColumn("span", "int32", offs, nullable=False),
-            ]
-        layer = C.LayerData(
-            name=layer_name,
-            extent=extent,
-            geometry=g,
-            ids=np.arange(len(pdf), dtype=np.int64),
-            props=props,
-        )
-        part = C.encode_layer(layer)
+        pdf = pdf.sort_values(["_layer", "doc_id", "span_offset"], ignore_index=True)
+        part = b""
+        n_vertices = 0
+        for lname, grp in pdf.groupby("_layer", sort=True):
+            g, order = _features_to_geometry_column(grp["wkt"].tolist(), x, y, zoom, extent)
+            props = []
+            if include_doc_refs:
+                docs = grp["doc_id"].to_numpy()[order].tolist()
+                offs = [int(v) for v in grp["span_offset"].to_numpy()[order]]
+                props = [
+                    C.PropColumn("doc", "string", docs, nullable=True),
+                    C.PropColumn("span", "int32", offs, nullable=False),
+                ]
+            layer = C.LayerData(
+                name=str(lname),
+                extent=extent,
+                geometry=g,
+                ids=np.arange(len(grp), dtype=np.int64),
+                props=props,
+            )
+            part += C.encode_layer(layer)
+            n_vertices += g.vertices.shape[0] // 2
         return pd.DataFrame(
             {
                 "x": [x],
                 "y": [y],
                 "n_features": [len(pdf)],
-                "n_vertices": [g.vertices.shape[0] // 2],
+                "n_vertices": [n_vertices],
                 "part": [part],
             }
         )

@@ -71,6 +71,31 @@ def streaming_quality(docs_stream: DataFrame) -> DataFrame:
     return quality_score(docs_stream)
 
 
+def streaming_running_user_totals(events_stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: running
+    per-user event counts and value sums maintained across micro-batches —
+    the pattern for any accumulator the built-in aggregations can't express
+    (e.g. per-key MLT stream encoders over an infinite ingest)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        n, v = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            v += float(pdf["value"].sum())
+        state.update((n, v))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [v]})
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, v double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     """Drive a streaming plan synchronously into an in-memory table; returns
     the started query (caller stops it). For tests and local verification."""

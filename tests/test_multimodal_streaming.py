@@ -115,3 +115,28 @@ class TestStreaming:
             q.stop()
         assert len(rows) > 0
         assert all(r.session_start <= r.session_end and r.n_events >= 1 for r in rows)
+
+    def test_stateful_running_totals(self, spark, sf_dir, tmp_path):
+        import shutil
+
+        stage = tmp_path / "events_stream3"
+        stage.mkdir()
+        shutil.copy(os.path.join(sf_dir, "events.parquet"), stage / "events.parquet")
+        schema = spark.read.parquet(str(stage)).schema
+        stream = spark.readStream.schema(schema).parquet(str(stage))
+        out = stream_ops.streaming_running_user_totals(stream)
+        q = stream_ops.run_stream_to_memory(out, "totals_stream", output_mode="update")
+        try:
+            got = {
+                r.user_id: (r.n_events, round(r.total_value, 6))
+                for r in spark.sql("SELECT * FROM totals_stream").collect()
+            }
+        finally:
+            q.stop()
+        batch = (
+            spark.read.parquet(str(stage))
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+        )
+        expected = {r.user_id: (r.n, round(r.v, 6)) for r in batch.collect()}
+        assert got == expected

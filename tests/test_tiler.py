@@ -84,3 +84,24 @@ class TestEncodeTiles:
         total_tile_bytes = tiles.agg(F.sum("byte_size")).first()[0]
         total_wkt_bytes = features.agg(F.sum(F.length("wkt"))).first()[0]
         assert total_tile_bytes < total_wkt_bytes * 0.5
+
+
+class TestMultiLayer:
+    def test_thematic_layers(self, spark, feats):
+        _, features = feats
+        from pyspark.sql import functions as F
+
+        themed = features.withColumn(
+            "layer",
+            F.when(F.col("geom_type").isin(1, 4), "poi")
+            .when(F.col("geom_type").isin(2, 5), "road")
+            .otherwise("land"),
+        )
+        tiles = tiler.encode_tiles(themed, zoom=5, layer_col="layer").cache()
+        row = tiles.orderBy(F.desc("n_features")).first()
+        layers = C.decode_tile(bytes(row.tile))
+        names = sorted({la.name for la in layers})
+        assert set(names) <= {"poi", "road", "land"} and len(names) >= 2
+        # per-tile feature totals preserved across the layer split
+        total = sum(len(la.geometry.types) for la in layers)
+        assert total == row.n_features
