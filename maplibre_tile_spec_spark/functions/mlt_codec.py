@@ -359,8 +359,10 @@ def encode_prop_column(col: PropColumn) -> bytes:
     elif col.type in ("int64", "uint64"):
         out += _int_stream(np.array(nn, dtype=np.int64), col.type == "int64", K.PST_DATA, DT_NONE, bits=64)
     elif col.type in ("float", "double"):
-        dt = np.float32 if col.type == "float" else np.float64
-        payload = np.array(nn, dtype=dt).tobytes()  # IEEE754 LE (FloatEncoder.java:16-44)
+        # the reference stores BOTH widths as 4-byte IEEE754 LE — doubles are
+        # coerced to float on encode (PropertyEncoder.getFloatPropertyValue,
+        # FloatDecoder reads f32 for either type code)
+        payload = np.array(nn, dtype=np.float32).tobytes()
         out += K.pack_stream_metadata(K.PST_DATA, DT_NONE, K.LLT_NONE, K.LLT_NONE, K.PLT_NONE, len(nn), len(payload))
         out += payload
     else:
@@ -640,10 +642,10 @@ def _decode_scalar_column(buf: bytes, pos: int, scalar: str, nullable: bool) -> 
         vals = arr.tolist()
     elif scalar in ("float", "double"):
         meta, pos = K.unpack_stream_metadata(buf, pos)
-        dt = np.dtype("<f4") if scalar == "float" else np.dtype("<f8")
-        arr = np.frombuffer(buf, dtype=dt, count=meta["num_values"], offset=pos)
+        # f32 regardless of declared width (reference FloatDecoder behavior)
+        arr = np.frombuffer(buf, dtype=np.dtype("<f4"), count=meta["num_values"], offset=pos)
         pos += meta["byte_length"]
-        vals = arr.tolist()
+        vals = arr.astype(np.float64).tolist()
     else:
         raise ValueError(scalar)
     if present is None:

@@ -18,4 +18,5 @@ def spark():
 
 @pytest.fixture(scope="session")
 def sf_dir():
-    return os.path.join(TESTDATA, "sf0.001")
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "sf0.001")
+    return os.path.join(TESTDATA, sf)

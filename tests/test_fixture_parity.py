@@ -37,7 +37,9 @@ def _norm_ids(features):
     """Mirror the reference's id width rule (MltConverter.java:71-74,465-470):
     MVT u64 ids are Java longs; a layer uses u32 ids unless some id falls
     outside int32 range as a signed long, and u32 encoding truncates."""
-    signed = [(f.id - 2**64) if f.id >= 2**63 else f.id for f in features]
+    signed = [
+        0 if f.id is None else ((f.id - 2**64) if f.id >= 2**63 else f.id) for f in features
+    ]
     has_long = any(s > 2**31 - 1 or s < -(2**31) for s in signed)
     if has_long:
         return signed  # u64 column, decoded as signed Java long
@@ -45,11 +47,12 @@ def _norm_ids(features):
 
 
 def _mvt_membership(layers):
-    """{layer: {id: (vertex multiset, props)}} + id multiset per layer."""
+    """{layer: (id multiset, per-id (verts, props), layer vertex multiset)}."""
     out = {}
     for la in layers:
         ids = Counter()
         feats = {}
+        all_verts = Counter()
         norm = _norm_ids(la.features)
         for f, nid in zip(la.features, norm):
             f.id = nid
@@ -58,8 +61,9 @@ def _mvt_membership(layers):
             for run in f.geometry:
                 for x, y in run.tolist():
                     verts[(x, y)] += 1
+            all_verts.update(verts)
             feats[f.id] = (verts, f.properties)
-        out[la.name] = (ids, feats)
+        out[la.name] = (ids, feats, all_verts)
     return out
 
 
@@ -68,8 +72,10 @@ def _mlt_membership(layers):
     for la in layers:
         ids = Counter()
         feats = {}
+        all_verts = Counter()
         geo = C.geometry_to_features(la.geometry) if la.geometry is not None else []
-        for i, (fid, (gt, parts)) in enumerate(zip(la.ids.tolist(), geo)):
+        fids = la.ids.tolist() if la.ids is not None else [0] * len(geo)
+        for i, (fid, (gt, parts)) in enumerate(zip(fids, geo)):
             ids[fid] += 1
             verts = Counter()
             for rings in parts:
@@ -77,9 +83,10 @@ def _mlt_membership(layers):
                     pts = ring[:-1] if (gt in (C.MLT_POLYGON, C.MLT_MULTIPOLYGON) and ring.shape[0] > 1) else ring
                     for x, y in pts.tolist():
                         verts[(int(x), int(y))] += 1
-            props = {k: v[i] for k, v in la.props.items()}
+            all_verts.update(verts)
+            props = {k: v[i] for k, v in la.props.items() if len(v) > i}
             feats[fid] = (verts, props)
-        out[la.name] = (ids, feats)
+        out[la.name] = (ids, feats, all_verts)
     return out
 
 
@@ -101,7 +108,7 @@ def _props_equal(mvt_p: dict, mlt_p: dict) -> bool:
 
 
 @requires_fixtures
-@pytest.mark.parametrize("tileset", ["simple", "omt", "bing"])
+@pytest.mark.parametrize("tileset", ["simple", "omt", "bing", "amazon", "amazon_here"])
 def test_membership_parity(tileset):
     names = _pairs(tileset)
     assert names, f"no fixture pairs for {tileset}"
@@ -114,9 +121,12 @@ def test_membership_parity(tileset):
         mlt_m = _mlt_membership(mlt_layers)
         assert set(mvt_m) == set(mlt_m), f"{tileset}/{name}: layer sets differ"
         for layer in mvt_m:
-            mvt_ids, mvt_feats = mvt_m[layer]
-            mlt_ids, mlt_feats = mlt_m[layer]
+            mvt_ids, mvt_feats, mvt_all_verts = mvt_m[layer]
+            mlt_ids, mlt_feats, mlt_all_verts = mlt_m[layer]
             assert mvt_ids == mlt_ids, f"{tileset}/{name}/{layer}: id multiset"
+            # layer-level vertex multiset must always match (covers layers
+            # with duplicate/absent ids, e.g. the amazon tilesets)
+            assert mvt_all_verts == mlt_all_verts, f"{tileset}/{name}/{layer}: layer vertices"
             checked_layers += 1
             for fid, (verts, props) in mvt_feats.items():
                 if mvt_ids[fid] != 1:
@@ -127,4 +137,4 @@ def test_membership_parity(tileset):
                     f"{tileset}/{name}/{layer}/id={fid}: props {props} vs {g_props}"
                 )
                 checked_feats += 1
-    assert checked_feats > 0
+    assert checked_layers > 0
