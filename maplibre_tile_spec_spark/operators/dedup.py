@@ -53,6 +53,9 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, mhs array<string|long>) — md5 family (oracle-exact) or xxhash64
     family (fast path for production)."""
+    # small-file inputs arrive as 1-2 splits; the signature computation is
+    # the expensive part, so spread it across the cluster first
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism * 2)
     sh, ntok = _shingles(text_col, shingle_size)
     if fast:
         mh = F.transform(
@@ -84,7 +87,11 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Near-duplicate candidate pairs (doc_a < doc_b) sharing ≥1 LSH band."""
     n_bands = n_hashes // band_size
-    sigs = minhash_signatures(docs, text_col, id_col, n_hashes, shingle_size, fast)
+    # persist: Catalyst does no common-subexpression elimination across
+    # lambda bodies, so without a materialization boundary the full
+    # n_hashes×shingles md5 computation inlines into every band AND both
+    # self-join sides (~32× recompute observed at bench scale)
+    sigs = minhash_signatures(docs, text_col, id_col, n_hashes, shingle_size, fast).persist()
     bands = F.transform(
         F.sequence(F.lit(0), F.lit(n_bands - 1)),
         lambda b: F.md5(F.concat_ws(",", F.slice(F.col("mhs"), b * band_size + 1, band_size))),
@@ -110,6 +117,7 @@ def ngram_jaccard_pairs(
     (doc_a, doc_b, jaccard) for pairs ≥ threshold. Integer counts + one
     division → bit-identical across engines."""
     sh, ntok = _shingles(text_col, shingle_size)
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism * 2)
     base = (
         docs.select(F.col(id_col).alias("id"), sh.alias("_sh"), ntok.alias("_n"))
         .filter(F.col("_n") >= shingle_size)
