@@ -75,3 +75,39 @@ class TestPlanShapes:
         plan = plan_of(Q.q_tile_assign(spark, sf_dir))
         assert plan.count("HashAggregate") >= 2
         assert "Exchange hashpartitioning" in plan
+
+
+class TestBucketing:
+    def test_bucketed_join_has_no_exchange(self, spark, sf_dir, tmp_path):
+        """Bucketing both join sides on the key pre-co-locates them: the
+        sort-merge join runs with ZERO Exchange operators — at 100 TB this
+        is the difference between a full-cluster shuffle and none."""
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS bdb LOCATION '{tmp_path}/bdb'")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        (
+            li.write.mode("overwrite")
+            .bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .saveAsTable("bdb.li_b")
+        )
+        (
+            orders.write.mode("overwrite")
+            .bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .saveAsTable("bdb.ord_b")
+        )
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = spark.table("bdb.li_b").join(
+                spark.table("bdb.ord_b"),
+                spark.table("bdb.li_b").l_orderkey == spark.table("bdb.ord_b").o_orderkey,
+            )
+            plan = j._jdf.queryExecution().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange hashpartitioning" not in plan, "bucketed join still shuffles"
+            # correctness: row count equals the shuffled join
+            assert j.count() == li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
