@@ -218,3 +218,26 @@ class TestStreamMetadata:
             assert (meta["runs"], meta["num_rle_values"]) == extra
         if llt1 == K.LLT_MORTON:
             assert (meta["num_bits"], meta["coordinate_shift"]) == extra
+
+
+class TestForcedOptions:
+    @pytest.mark.parametrize("option", ["plain", "delta", "rle", "delta_rle"])
+    @given(int32s, st.booleans())
+    @settings(max_examples=25, deadline=None)
+    def test_forced_roundtrip(self, option, vals, signed):
+        v = np.array(vals, dtype=np.int64)
+        if not signed:
+            v = np.minimum(np.abs(v), 2**31 - 1)
+        r = K.encode_int_stream(v, signed=signed, option=option)
+        out, _ = K.decode_int_stream(
+            r.payload, 0, r.num_values, len(r.payload), r.llt1, r.llt2, signed,
+            num_runs_meta=r.num_runs,
+        )
+        assert np.array_equal(out, v)
+
+    def test_forced_matches_reference_techniques(self):
+        v = np.arange(100)
+        assert K.encode_int_stream(v, False, option="plain").llt1 == K.LLT_NONE
+        assert K.encode_int_stream(v, False, option="delta").llt1 == K.LLT_DELTA
+        r = K.encode_int_stream(v, False, option="delta_rle")
+        assert (r.llt1, r.llt2) == (K.LLT_DELTA, K.LLT_RLE)
