@@ -207,6 +207,178 @@ def encode_tiles(
     return merged
 
 
+def encode_tiles_clipped(
+    features: DataFrame,
+    zoom: int,
+    extent: int = 4096,
+    buffer: int = 64,
+    layer_name: str = "features",
+    n_salt: int = 1,
+) -> DataFrame:
+    """Spanning-feature tiler: every feature lands in every tile its bbox
+    touches (declarative sequence-explode — no Python) and is geometrically
+    clipped to that tile's buffered window inside the encode kernel
+    (Sutherland–Hodgman / Liang–Barsky, functions/clip.py). The MVT-style
+    ``buffer`` (extent units) lets renderers stitch seams."""
+    from maplibre_tile_spec_spark.functions import clip as CL
+
+    x_lo = TM.lon_to_tile_x(F.col("lon_min"), zoom)
+    x_hi = TM.lon_to_tile_x(F.col("lon_max"), zoom)
+    y_lo = TM.lat_to_tile_y(F.col("lat_max"), zoom)  # y grows southward
+    y_hi = TM.lat_to_tile_y(F.col("lat_min"), zoom)
+    tiled = (
+        features.select(
+            "doc_id",
+            "span_offset",
+            "wkt",
+            F.explode(F.sequence(x_lo, x_hi)).alias("x"),
+            y_lo.alias("_y0"),
+            y_hi.alias("_y1"),
+        )
+        .select(
+            "doc_id",
+            "span_offset",
+            "wkt",
+            "x",
+            F.explode(F.sequence(F.col("_y0"), F.col("_y1"))).alias("y"),
+        )
+    )
+    if n_salt > 1:
+        tiled = tiled.withColumn("salt", F.pmod(F.xxhash64("doc_id", "span_offset"), F.lit(n_salt)).cast("int"))
+    else:
+        tiled = tiled.withColumn("salt", F.lit(0))
+
+    lo, hi = float(-buffer), float(extent + buffer)
+
+    def encode_group(key, pdf):
+        x, y, _salt = int(key[0]), int(key[1]), int(key[2])
+        pdf = pdf.sort_values(["doc_id", "span_offset"], ignore_index=True)
+        types, num_geoms, num_parts, num_rings = [], [], [], []
+        vert_chunks: list[np.ndarray] = []
+        n_feat = 0
+        parsed = [W.parse_wkt(w) for w in pdf["wkt"]]
+        contains_poly = any(p[0] in (W.GT_POLYGON, W.GT_MULTIPOLYGON) for p in parsed)
+
+        nz = float(2**zoom)
+
+        def quantize(coords: np.ndarray) -> np.ndarray:
+            """Unclamped tile-local extent coords (may fall outside [0,extent))."""
+            fx = (coords[:, 0] + 180.0) / 360.0 * nz
+            rad = np.radians(coords[:, 1])
+            fy = (1.0 - np.log(np.tan(rad) + 1.0 / np.cos(rad)) / np.pi) / 2.0 * nz
+            return np.column_stack([(fx - x) * extent, (fy - y) * extent])
+
+        def push(pts: np.ndarray) -> None:
+            chunk = np.empty(pts.shape[0] * 2, dtype=np.int64)
+            chunk[0::2] = np.floor(pts[:, 0]).astype(np.int64)
+            chunk[1::2] = np.floor(pts[:, 1]).astype(np.int64)
+            vert_chunks.append(chunk)
+
+        for gt, coords, structure in parsed:
+            q = quantize(coords)
+            if gt in (W.GT_POINT, W.GT_MULTIPOINT):
+                keep = q[(q[:, 0] >= lo) & (q[:, 0] <= hi) & (q[:, 1] >= lo) & (q[:, 1] <= hi)]
+                if keep.shape[0] == 0:
+                    continue
+                if keep.shape[0] == 1:
+                    types.append(C.MLT_POINT)
+                else:
+                    types.append(C.MLT_MULTIPOINT)
+                    num_geoms.append(keep.shape[0])
+                push(keep)
+                n_feat += 1
+            elif gt in (W.GT_LINESTRING, W.GT_MULTILINESTRING):
+                ci = 0
+                parts_out: list[np.ndarray] = []
+                for part in structure:
+                    n = part[0]
+                    parts_out.extend(CL.clip_line(q[ci : ci + n], lo, lo, hi, hi))
+                    ci += n
+                parts_out = [p for p in parts_out if p.shape[0] >= 2]
+                if not parts_out:
+                    continue
+                if len(parts_out) == 1:
+                    types.append(C.MLT_LINESTRING)
+                    (num_rings if contains_poly else num_parts).append(parts_out[0].shape[0])
+                    push(parts_out[0])
+                else:
+                    types.append(C.MLT_MULTILINESTRING)
+                    num_geoms.append(len(parts_out))
+                    for p in parts_out:
+                        (num_rings if contains_poly else num_parts).append(p.shape[0])
+                        push(p)
+                n_feat += 1
+            else:  # polygon / multipolygon
+                ci = 0
+                polys_out: list[list[np.ndarray]] = []
+                for part in structure:
+                    rings_out = []
+                    for j, n in enumerate(part):
+                        ring = q[ci : ci + n - 1] if n > 1 else q[ci : ci + n]  # drop closing
+                        ci += n
+                        clipped = CL.clip_ring(ring, lo, lo, hi, hi)
+                        if clipped.shape[0] >= 3:
+                            rings_out.append(clipped)
+                        elif j == 0:
+                            rings_out = []
+                            break  # outer ring gone ⇒ whole part gone
+                    if rings_out:
+                        polys_out.append(rings_out)
+                if not polys_out:
+                    continue
+                if len(polys_out) == 1:
+                    types.append(C.MLT_POLYGON)
+                else:
+                    types.append(C.MLT_MULTIPOLYGON)
+                    num_geoms.append(len(polys_out))
+                for rings in polys_out:
+                    num_parts.append(len(rings))
+                    for r in rings:
+                        num_rings.append(r.shape[0])
+                        push(r)
+                n_feat += 1
+        if n_feat == 0:
+            return pd.DataFrame({"x": [], "y": [], "n_features": [], "n_vertices": [], "part": []}).astype(
+                {"x": "int32", "y": "int32", "n_features": "int64", "n_vertices": "int64"}
+            )
+        g = C.GeometryColumn(
+            types=np.array(types, dtype=np.int64),
+            num_geometries=np.array(num_geoms, dtype=np.int64),
+            num_parts=np.array(num_parts, dtype=np.int64),
+            num_rings=np.array(num_rings, dtype=np.int64),
+            vertices=np.concatenate(vert_chunks),
+        )
+        part = C.encode_layer(
+            C.LayerData(name=layer_name, extent=extent, geometry=g, ids=np.arange(n_feat, dtype=np.int64))
+        )
+        return pd.DataFrame(
+            {"x": [x], "y": [y], "n_features": [n_feat], "n_vertices": [g.vertices.shape[0] // 2], "part": [part]}
+        )
+
+    parts = tiled.groupBy("x", "y", "salt").applyInPandas(encode_group, schema=TILE_SCHEMA)
+    return (
+        parts.groupBy("x", "y")
+        .agg(
+            F.sum("n_features").alias("n_features"),
+            F.sum("n_vertices").alias("n_vertices"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.col("part"))),
+                F.lit(b""),
+                lambda acc, p: F.concat(acc, p),
+            ).alias("tile"),
+        )
+        .select(
+            F.lit(zoom).alias("z"),
+            "x",
+            "y",
+            "n_features",
+            "n_vertices",
+            F.length("tile").cast("long").alias("byte_size"),
+            "tile",
+        )
+    )
+
+
 def write_tiles(tiles: DataFrame, path: str, partition_by_zoom: bool = True) -> None:
     """Tile sink: parquet of (z,x,y,tile) — the distributed analog of the
     reference's MLT file sink (Encode.java:394-418)."""

@@ -105,3 +105,49 @@ class TestMultiLayer:
         # per-tile feature totals preserved across the layer split
         total = sum(len(la.geometry.types) for la in layers)
         assert total == row.n_features
+
+
+class TestClippedTiler:
+    def test_spanning_features_appear_in_all_touched_tiles(self, spark, feats):
+        _, features = feats
+        zoom = 7
+        tiles = tiler.encode_tiles_clipped(features, zoom=zoom, buffer=0).cache()
+        rows = tiles.collect()
+        assert len(rows) > 0
+        # every tile decodes; every vertex within the buffered window
+        for r in rows[:25]:
+            for la in C.decode_tile(bytes(r.tile)):
+                v = la.geometry.vertices
+                assert v.min() >= -1 and v.max() <= 4096  # buffer=0 (+floor slack)
+        # features spanning tile boundaries produce more assignments than reps
+        n_assigned = tiles.agg(F.sum("n_features")).first()[0]
+        n_features = features.count()
+        assert n_assigned >= n_features * 0.9  # most survive; spanning ones duplicate
+
+    def test_area_partition_across_tiles(self, spark):
+        # polygon exactly straddling two z1 tiles (the antimeridian-free case)
+        wkt = "POLYGON ((-10.0 -10.0, 10.0 -10.0, 10.0 10.0, -10.0 10.0, -10.0 -10.0))"
+        df = spark.createDataFrame(
+            [("d", 0, wkt, -10.0, -10.0, 10.0, 10.0, 0.0, 0.0)],
+            "doc_id string, span_offset int, wkt string, lon_min double, lat_min double, "
+            "lon_max double, lat_max double, rep_lon double, rep_lat double",
+        )
+        tiles = tiler.encode_tiles_clipped(df, zoom=1, buffer=0)
+        rows = tiles.collect()
+        assert len(rows) == 4  # straddles all four z1 tiles
+        from maplibre_tile_spec_spark.functions import clip as CL
+
+        total = 0.0
+        for r in rows:
+            for la in C.decode_tile(bytes(r.tile)):
+                feats_ = C.geometry_to_features(la.geometry)
+                for _gt, parts in feats_:
+                    for rings in parts:
+                        total += CL.ring_area(rings[0][:-1].astype(float))
+        # mercator-projected square spans equal area in all 4 tiles; total in
+        # extent² units: (width_frac*4096)² summed — just assert consistency
+        one = CL.ring_area(
+            C.geometry_to_features(C.decode_tile(bytes(rows[0].tile))[0].geometry)[0][1][0][0][:-1].astype(float)
+        )
+        assert np.isclose(total, 4 * one, rtol=1e-3)  # int flooring per tile
+        assert one > 0
