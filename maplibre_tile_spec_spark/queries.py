@@ -963,6 +963,23 @@ def q_mlt_tile_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mlt_tile_encode_clipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spanning-feature tiler with geometric clipping (rows-only check;
+    pytest asserts area/length partition invariants)."""
+    from maplibre_tile_spec_spark.operators import features as FE
+    from maplibre_tile_spec_spark.operators import tiler
+
+    docs = synth.synthesize_documents(spark, 1500, seed=42)
+    feats = FE.extract_features(docs)
+    return tiler.encode_tiles_clipped(feats, zoom=7, buffer=64).select(
+        F.col("z").cast("long"),
+        F.col("x").cast("long"),
+        F.col("y").cast("long"),
+        F.col("n_features"),
+        F.col("byte_size"),
+    )
+
+
 def q_mlt_tile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encode then decode every tile; per-tile decoded feature membership
     (rows-only check; pytest asserts equality with the declarative plan)."""
@@ -1018,6 +1035,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # binary/tile outputs — no SQL oracle (driver records rows-only check);
     # exactness is asserted by pytest fixture parity + membership round-trip
     "mlt_tile_encode": q_mlt_tile_encode,
+    "mlt_tile_encode_clipped": q_mlt_tile_encode_clipped,
     "mlt_tile_roundtrip": q_mlt_tile_roundtrip,
 }
 
