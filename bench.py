@@ -5,10 +5,12 @@ Default mode: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
---scaling mode: runs the end-to-end documents pipeline at two parallelism
-levels (local[8] vs local[32]) in separate JVMs on identical input and
-reports throughput at both plus scaling efficiency (the sandbox proxy for
-the north rule's N vs 4N executor criterion).
+--scaling mode: runs the end-to-end documents pipeline at N and 4N cores
+(default local[1] vs local[4] — the range where this sandbox's shared
+hyperthreads still behave like physical cores) in separate JVMs on identical
+input, best-of-K, and reports throughput, scaling efficiency, and the
+simultaneously measured raw-CPU hardware ceiling (the sandbox proxy for the
+north rule's N vs 4N executor criterion).
 """
 
 from __future__ import annotations
