@@ -908,6 +908,96 @@ def geometry_to_features(g: GeometryColumn) -> list[tuple[int, list[list[np.ndar
 
 
 # ---------------------------------------------------------------------------
+# stream introspection (MLTStreamObserver analog,
+# java/.../converter/MLTStreamObserver.java / MLTStreamObserverFile.java:1-74:
+# observe every raw stream's metadata + encoded size for size analysis)
+# ---------------------------------------------------------------------------
+
+_PST_NAMES = ["present", "data", "offset", "length"]
+_LLT_NAMES = ["none", "delta", "componentwise_delta", "rle", "morton", "pde"]
+LLT_NONE_ORD = 0
+
+
+def inspect_tile(buf: bytes) -> list[dict]:
+    """Walk a tile without materializing values → one record per stream:
+    layer, column, stream kind, logical technique, value count, byte size.
+    Feeds the same size-analysis workflows as the reference's stream
+    observer, but as plain dicts (→ DataFrame rows at scale)."""
+    records = []
+    pos, n = 0, len(buf)
+    while pos < n:
+        v, pos = K.varint_decode(buf, 1, pos)
+        length = int(v[0])
+        start = pos
+        v, pos = K.varint_decode(buf, 1, pos)
+        tag = int(v[0])
+        end = start + length
+        if tag != TAG_EMBEDDED:
+            pos = end
+            continue
+        name, p = _get_string(buf, pos)
+        v, p = K.varint_decode(buf, 2, p)
+        cols = []
+        for _ in range(int(v[1])):
+            tcv, p = K.varint_decode(buf, 1, p)
+            tc = int(tcv[0])
+            cname, children = None, []
+            if tc >= 10:
+                cname, p = _get_string(buf, p)
+            if tc == TC_STRUCT:
+                cc, p = K.varint_decode(buf, 1, p)
+                for _ in range(int(cc[0])):
+                    ctc, p = K.varint_decode(buf, 1, p)
+                    ch_name = None
+                    if int(ctc[0]) >= 10:
+                        ch_name, p = _get_string(buf, p)
+                    children.append((int(ctc[0]), ch_name))
+            cols.append((tc, cname, children))
+
+        def emit(col_label: str, n_streams: int) -> None:
+            nonlocal p
+            for _ in range(n_streams):
+                meta, p2 = K.unpack_stream_metadata(buf, p)
+                records.append(
+                    {
+                        "layer": name,
+                        "column": col_label,
+                        "stream": _PST_NAMES[meta["physical_stream_type"]],
+                        "technique": _LLT_NAMES[meta["llt1"]]
+                        + (f"+{_LLT_NAMES[meta['llt2']]}" if meta["llt2"] != LLT_NONE_ORD else ""),
+                        "num_values": meta["num_values"],
+                        "byte_length": meta["byte_length"],
+                    }
+                )
+                p = p2 + meta["byte_length"]
+
+        for tc, cname, children in cols:
+            if tc in (TC_ID_U32, TC_ID_U32_NULL, TC_ID_U64, TC_ID_U64_NULL):
+                emit("id", 1 + (tc & 1))
+            elif tc == TC_GEOMETRY:
+                ns, p = K.varint_decode(buf, 1, p)
+                emit("geometry", int(ns[0]))
+            elif tc == TC_STRUCT:
+                ns, p = K.varint_decode(buf, 1, p)
+                total = int(ns[0])
+                # shared dictionary streams: first (total - 2*children), then
+                # per child a varint(2|0) + streams
+                emit(cname or "struct", total - 2 * len(children))
+                for _tc2, ch in children:
+                    cns, p = K.varint_decode(buf, 1, p)
+                    emit((cname or "") + (ch or ""), int(cns[0]))
+            else:
+                scalar = _CODE_TO_SCALAR[tc & ~1]
+                if scalar == "string":
+                    ns, p = K.varint_decode(buf, 1, p)
+                    emit(cname, int(ns[0]))
+                else:
+                    emit(cname, 1 + (tc & 1))
+        pos = end
+    return records
+
+
+# ---------------------------------------------------------------------------
 # vectorized decode → Arrow (the TS decoder's FeatureTable-of-vectors analog,
 # ts/src/mltDecoder.ts:48-150: columnar in-memory, no row materialization)
 # ---------------------------------------------------------------------------

@@ -328,3 +328,21 @@ class TestFsstEncode:
         )
         la = C.decode_tile(C.encode_tile([layer]))[0]
         assert la.props["class"] == vals
+
+
+class TestInspect:
+    def test_inspect_matches_decode(self):
+        buf = open(f"{FIXTURE_DIR}/point-boolean.mlt", "rb").read()
+        recs = C.inspect_tile(buf)
+        assert [r["column"] for r in recs] == ["id", "geometry", "geometry", "key", "key"]
+        assert all(r["layer"] == "layer" for r in recs)
+        # stream payload bytes + headers + metadata == tile size
+        assert sum(r["byte_length"] for r in recs) < len(buf)
+
+    def test_inspect_full_corpus(self):
+        import glob
+        for f in sorted(glob.glob("/root/reference/test/expected/tag0x01/omt/*.mlt"))[:10]:
+            buf = open(f, "rb").read()
+            recs = C.inspect_tile(buf)
+            assert len(recs) > 0
+            assert sum(r["byte_length"] for r in recs) <= len(buf)
