@@ -151,3 +151,17 @@ class TestClippedTiler:
         )
         assert np.isclose(total, 4 * one, rtol=1e-3)  # int flooring per tile
         assert one > 0
+
+
+class TestSkewBalance:
+    def test_salting_splits_hot_tile_work(self, spark, feats):
+        """A pathological hot tile (every feature in one tile at z0) must
+        fan out into n_salt independently-encoded parts — the explicit skew
+        treatment AQE cannot apply to a single applyInPandas group."""
+        _, features = feats
+        parts = tiler.encode_tiles(features, zoom=0, n_salt=8)
+        row = parts.first()
+        # tile is the concatenation of up to 8 framed layer blocks
+        layers = C.decode_tile(bytes(row.tile))
+        assert 2 <= len(layers) <= 8
+        assert sum(len(la.geometry.types) for la in layers) == row.n_features
