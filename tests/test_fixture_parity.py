@@ -222,3 +222,63 @@ def test_hilbert_order_matches_reference_dictionaries():
                     break
             pos = end
     assert checked >= 3
+
+
+@requires_fixtures
+@pytest.mark.parametrize(
+    "name", ["point-boolean", "line-boolean", "multipoint-boolean", "multiline-boolean"]
+)
+def test_encode_from_source_mvt_byte_exact(name):
+    """Full encoder-path parity: convert the SOURCE MVT to our layer model
+    and encode — the bytes must equal the reference encoder's expected tile
+    (non-tessellated classes; polygon classes carry earcut streams)."""
+    mvt_layers = M.decode_mvt(open(f"{FIX}/simple/{name}.mvt", "rb").read())
+    expected = open(f"{EXP}/simple/{name}.mlt", "rb").read()
+
+    layers = []
+    for la in mvt_layers:
+        types, num_geoms, num_parts, num_rings, verts = [], [], [], [], []
+        ids = []
+        props: dict[str, list] = {}
+        contains_poly = any(f.geom_type == 3 for f in la.features)
+        for f in la.features:
+            ids.append(f.id or 0)
+            for k, v in f.properties.items():
+                props.setdefault(k, []).append(v)
+            if f.geom_type == 1:  # point(s)
+                n_pts = sum(r.shape[0] for r in f.geometry)
+                if n_pts == 1:
+                    types.append(C.MLT_POINT)
+                else:
+                    types.append(C.MLT_MULTIPOINT)
+                    num_geoms.append(n_pts)
+                for run in f.geometry:
+                    verts.extend(run.ravel().tolist())
+            elif f.geom_type == 2:  # line(s)
+                if len(f.geometry) == 1:
+                    types.append(C.MLT_LINESTRING)
+                else:
+                    types.append(C.MLT_MULTILINESTRING)
+                    num_geoms.append(len(f.geometry))
+                for run in f.geometry:
+                    (num_rings if contains_poly else num_parts).append(run.shape[0])
+                    verts.extend(run.ravel().tolist())
+            else:
+                raise AssertionError("polygon classes not in this test")
+        g = C.GeometryColumn(
+            types=np.array(types, dtype=np.int64),
+            num_geometries=np.array(num_geoms, dtype=np.int64),
+            num_parts=np.array(num_parts, dtype=np.int64),
+            num_rings=np.array(num_rings, dtype=np.int64),
+            vertices=np.array(verts, dtype=np.int64),
+        )
+        layers.append(
+            C.LayerData(
+                name=la.name,
+                extent=la.extent,
+                geometry=g,
+                ids=np.array(ids, dtype=np.int64),
+                props=[C.PropColumn(k, "boolean", v, nullable=True) for k, v in props.items()],
+            )
+        )
+    assert C.encode_tile(layers) == expected
