@@ -379,6 +379,71 @@ def encode_tiles_clipped(
     )
 
 
+def build_parent_tiles(tiles: DataFrame, extent: int = 4096) -> DataFrame:
+    """One pyramid level up: merge each 2×2 block of child tiles into a
+    parent tile — decode children, halve + offset coordinates into the
+    parent's extent space, re-encode per layer. The tiling analog of a
+    hypertable rollup: a single shuffle on the parent key, Arrow kernels do
+    the geometry work. Apply iteratively for a full overview pyramid."""
+
+    def merge_group(key, pdf):
+        z, px, py = int(key[0]), int(key[1]), int(key[2])
+        per_layer: dict[str, list] = {}
+        for _, row in pdf.iterrows():
+            cx, cy = int(row["x"]), int(row["y"])
+            ox = (cx & 1) * extent // 2
+            oy = (cy & 1) * extent // 2
+            for la in C.decode_tile(bytes(row["tile"])):
+                g = la.geometry
+                v = g.vertices.copy()
+                v[0::2] = v[0::2] // 2 + ox
+                v[1::2] = v[1::2] // 2 + oy
+                per_layer.setdefault(la.name, []).append(
+                    C.GeometryColumn(g.types, g.num_geometries, g.num_parts, g.num_rings, v)
+                )
+        parts = b""
+        n_feat = 0
+        n_vert = 0
+        for lname in sorted(per_layer):
+            gs = per_layer[lname]
+            merged = C.GeometryColumn(
+                types=np.concatenate([g.types for g in gs]),
+                num_geometries=np.concatenate([g.num_geometries for g in gs]),
+                num_parts=np.concatenate([g.num_parts for g in gs]),
+                num_rings=np.concatenate([g.num_rings for g in gs]),
+                vertices=np.concatenate([g.vertices for g in gs]),
+            )
+            n = merged.types.shape[0]
+            parts += C.encode_layer(
+                C.LayerData(lname, extent, merged, ids=np.arange(n, dtype=np.int64))
+            )
+            n_feat += n
+            n_vert += merged.vertices.shape[0] // 2
+        return pd.DataFrame(
+            {"x": [px], "y": [py], "n_features": [n_feat], "n_vertices": [n_vert], "part": [parts]}
+        )
+
+    parent = tiles.select(
+        (F.col("z") - 1).alias("pz"),
+        F.shiftrightunsigned(F.col("x"), 1).cast("int").alias("px"),
+        F.shiftrightunsigned(F.col("y"), 1).cast("int").alias("py"),
+        "x",
+        "y",
+        "tile",
+    )
+    out = parent.groupBy("pz", "px", "py").applyInPandas(merge_group, schema=TILE_SCHEMA)
+    pz = tiles.select(F.first("z")).first()[0] - 1
+    return out.select(
+        F.lit(pz).alias("z"),
+        "x",
+        "y",
+        "n_features",
+        "n_vertices",
+        F.length("part").cast("long").alias("byte_size"),
+        F.col("part").alias("tile"),
+    )
+
+
 def write_tiles(tiles: DataFrame, path: str, partition_by_zoom: bool = True) -> None:
     """Tile sink: parquet of (z,x,y,tile) — the distributed analog of the
     reference's MLT file sink (Encode.java:394-418)."""

@@ -165,3 +165,23 @@ class TestSkewBalance:
         layers = C.decode_tile(bytes(row.tile))
         assert 2 <= len(layers) <= 8
         assert sum(len(la.geometry.types) for la in layers) == row.n_features
+
+
+class TestPyramidRollup:
+    def test_parent_tiles_preserve_features(self, spark, feats):
+        _, features = feats
+        children = tiler.encode_tiles(features, zoom=6).cache()
+        parents = tiler.build_parent_tiles(children).cache()
+        assert parents.select("z").distinct().first()[0] == 5
+        n_child = children.agg(F.sum("n_features")).first()[0]
+        n_parent = parents.agg(F.sum("n_features")).first()[0]
+        assert n_parent == n_child
+        # parent keys are child keys >> 1
+        ck = {(r.x >> 1, r.y >> 1) for r in children.select("x", "y").collect()}
+        pk = {(r.x, r.y) for r in parents.select("x", "y").collect()}
+        assert pk == ck
+        # decoded parent vertices stay within extent and tiles decode cleanly
+        row = parents.orderBy(F.desc("n_features")).first()
+        for la in C.decode_tile(bytes(row.tile)):
+            v = la.geometry.vertices
+            assert v.min() >= 0 and v.max() < 4096
