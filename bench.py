@@ -55,6 +55,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "sessionize_events",
     "mlt_tile_encode",
+    "mlt_tile_encode_clipped",
 ]
 
 
