@@ -118,6 +118,29 @@ def bbox_cover_cells(
     return [(x, y) for x in range(x0, x1 + 1) for y in range(y0, y1 + 1)]
 
 
+def compact_cells(cells: list[tuple[int, int, int]], allowed_levels: set[int]) -> list[tuple[int, int, int]]:
+    """Quadtree compaction (the H3 ``compact`` analog): replace every
+    complete 2×2 sibling block with its parent, recursively, as long as the
+    parent level stays in ``allowed_levels``. A mixed-level cover joins
+    seamlessly against point cells computed per level."""
+    current = set(cells)
+    changed = True
+    while changed:
+        changed = False
+        # group by parent one level up (parents must be in allowed_levels)
+        by_parent: dict[tuple[int, int, int], list] = {}
+        for level, x, y in list(current):
+            parent = (level - 1, x >> 1, y >> 1)
+            if parent[0] in allowed_levels:
+                by_parent.setdefault(parent, []).append((level, x, y))
+        for parent, children in by_parent.items():
+            if len(children) == 4:
+                current.difference_update(children)
+                current.add(parent)
+                changed = True
+    return sorted(current)
+
+
 def adaptive_cover_level(
     lon_min: float, lat_min: float, lon_max: float, lat_max: float, max_cells: int = 64, max_level: int = 14
 ) -> int:

@@ -46,10 +46,18 @@ EARTH_CIRCUMFERENCE_KM = 40075.017
 PIP_COVER_SCHEMA = "poly_id string, level int, cx int, cy int"
 
 
-def polygon_cover(polys: DataFrame, levels: tuple[int, ...] = (4, 6, 8, 10, 12), max_cells: int = 64) -> DataFrame:
+def polygon_cover(
+    polys: DataFrame,
+    levels: tuple[int, ...] = (4, 6, 8, 10, 12),
+    max_cells: int = 64,
+    compact: bool = True,
+) -> DataFrame:
     """(poly_id, level, cx, cy) bbox-cover cells, each polygon at the finest
-    allowed level whose cover stays ≤ max_cells (snapped down to ``levels``)."""
+    allowed level whose cover stays ≤ max_cells (snapped down to ``levels``).
+    ``compact`` merges complete sibling blocks up (H3-compact analog),
+    shrinking the broadcast side for large polygons."""
     lv = sorted(levels)
+    lv_set = set(lv)
 
     def cover(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -58,8 +66,11 @@ def polygon_cover(polys: DataFrame, levels: tuple[int, ...] = (4, 6, 8, 10, 12),
                 x0, y0, x1, y1 = W.wkt_bbox(wkt)
                 raw = G.adaptive_cover_level(x0, y0, x1, y1, max_cells=max_cells, max_level=lv[-1])
                 level = max([l for l in lv if l <= raw], default=lv[0])
-                for cx, cy in G.bbox_cover_cells(x0, y0, x1, y1, level):
-                    rows.append((poly_id, level, cx, cy))
+                cells = [(level, cx, cy) for cx, cy in G.bbox_cover_cells(x0, y0, x1, y1, level)]
+                if compact:
+                    cells = G.compact_cells(cells, lv_set)
+                for clevel, cx, cy in cells:
+                    rows.append((poly_id, clevel, cx, cy))
             yield pd.DataFrame(rows, columns=["poly_id", "level", "cx", "cy"])
 
     return polys.mapInPandas(cover, schema=PIP_COVER_SCHEMA)

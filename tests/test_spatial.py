@@ -128,3 +128,33 @@ class TestQuadkeyJoin:
         for pid, z, x, y in got_a:
             per_level.setdefault(z, set()).add(pid)
         assert len(per_level[0]) >= n_pts_in
+
+
+class TestCompactCover:
+    def test_compact_merges_complete_blocks(self):
+        # full 2x2 block at level 6 within an allowed-level set incl. 5
+        cells = [(6, 10, 20), (6, 11, 20), (6, 10, 21), (6, 11, 21), (6, 13, 20)]
+        out = G.compact_cells(cells, {4, 5, 6})
+        assert (5, 5, 10) in out and (6, 13, 20) in out
+        assert len(out) == 2
+
+    def test_compact_respects_allowed_levels(self):
+        cells = [(6, 10, 20), (6, 11, 20), (6, 10, 21), (6, 11, 21)]
+        out = G.compact_cells(cells, {6})  # parent level 5 not allowed
+        assert sorted(out) == sorted(cells)
+
+    def test_pip_results_identical_with_compaction(self, spark, points, polys):
+        a = {(r.pid, r.poly_id) for r in S.pip_join(points, polys).collect()}
+        # monkey-less comparison: run cover without compaction via param
+        from maplibre_tile_spec_spark.operators.spatial import polygon_cover
+        import maplibre_tile_spec_spark.operators.spatial as sp_mod
+
+        orig = sp_mod.polygon_cover
+        sp_mod.polygon_cover = lambda p, levels=(4, 6, 8, 10, 12), max_cells=64, compact=True: orig(
+            p, levels=levels, max_cells=max_cells, compact=False
+        )
+        try:
+            b = {(r.pid, r.poly_id) for r in S.pip_join(points, polys).collect()}
+        finally:
+            sp_mod.polygon_cover = orig
+        assert a == b
