@@ -120,24 +120,31 @@ def bbox_cover_cells(
 
 def compact_cells(cells: list[tuple[int, int, int]], allowed_levels: set[int]) -> list[tuple[int, int, int]]:
     """Quadtree compaction (the H3 ``compact`` analog): replace every
-    complete 2×2 sibling block with its parent, recursively, as long as the
-    parent level stays in ``allowed_levels``. A mixed-level cover joins
-    seamlessly against point cells computed per level."""
+    complete descendant block with its ancestor at the **nearest allowed
+    coarser level** — 2×2 siblings when that level is level−1, a full 4×4
+    grandchild block when the cover skips a level (the default PIP level
+    set 4,6,8,10,12 has no contiguous pair, so merging strictly one level
+    up would never fire). A mixed-level cover joins seamlessly against
+    point cells computed per allowed level."""
     current = set(cells)
     changed = True
     while changed:
         changed = False
-        # group by parent one level up (parents must be in allowed_levels)
-        by_parent: dict[tuple[int, int, int], list] = {}
-        for level, x, y in list(current):
-            parent = (level - 1, x >> 1, y >> 1)
-            if parent[0] in allowed_levels:
-                by_parent.setdefault(parent, []).append((level, x, y))
-        for parent, children in by_parent.items():
-            if len(children) == 4:
-                current.difference_update(children)
-                current.add(parent)
-                changed = True
+        for level in sorted({l for l, _, _ in current}, reverse=True):
+            coarser = [a for a in allowed_levels if a < level]
+            if not coarser:
+                continue
+            shift = level - max(coarser)
+            need = (1 << shift) ** 2
+            by_anc: dict[tuple[int, int, int], list] = {}
+            for cell in current:
+                if cell[0] == level:
+                    by_anc.setdefault((level - shift, cell[1] >> shift, cell[2] >> shift), []).append(cell)
+            for anc, block in by_anc.items():
+                if len(block) == need:
+                    current.difference_update(block)
+                    current.add(anc)
+                    changed = True
     return sorted(current)
 
 

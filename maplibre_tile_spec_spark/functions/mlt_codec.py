@@ -197,10 +197,11 @@ def encode_geometry_column(g: GeometryColumn, use_morton: bool = True) -> tuple[
     max_v = int(max(xs.max(), ys.max()))
     num_bits, shift = K.sfc_bounds(min_v, max_v)
 
-    # plain candidate
+    # plain candidate — compared size must equal the *emitted* stream size
+    # (raw varint over componentwise zigzag-delta), not an AUTO-selected
+    # candidate we never write, or the argmin can pick a larger layout
     zz = K.vec2_zigzag_delta_encode(xs, ys)
-    plain_enc = K.encode_int_stream(zz.astype(np.int64), signed=False)  # AUTO over zigzagged values
-    plain_size = len(plain_enc.payload)
+    plain_size = len(K.varint_encode(zz))
 
     # hilbert dictionary candidate
     hil = K.hilbert_encode(xs, ys, order=num_bits, shift=shift)
@@ -209,9 +210,8 @@ def encode_geometry_column(g: GeometryColumn, use_morton: bool = True) -> tuple[
     dict_ys = ys[first_idx]
     offsets = np.searchsorted(hil_sorted, hil)
     zz_dict = K.vec2_zigzag_delta_encode(dict_xs, dict_ys)
-    dict_enc = K.encode_int_stream(zz_dict.astype(np.int64), signed=False)
     off_enc = K.encode_int_stream(offsets.astype(np.int64), signed=False)
-    dict_size = len(dict_enc.payload) + len(off_enc.payload)
+    dict_size = len(K.varint_encode(zz_dict)) + len(off_enc.payload)
 
     # morton dictionary candidate
     mort = K.morton_encode(xs, ys, shift=shift).astype(np.int64)
@@ -980,9 +980,12 @@ def inspect_tile(buf: bytes) -> list[dict]:
             elif tc == TC_STRUCT:
                 ns, p = K.varint_decode(buf, 1, p)
                 total = int(ns[0])
-                # shared dictionary streams: first (total - 2*children), then
-                # per child a varint(2|0) + streams
-                emit(cname or "struct", total - 2 * len(children))
+                # shared dictionary streams: the declared count is
+                # 3+2*children (5+2*children with FSST) per StringEncoder,
+                # but only 2 (resp. 4) physical streams precede the children
+                # — the remaining "+1" is accounting for the child varints,
+                # so subtract it or we over-read one stream header here
+                emit(cname or "struct", total - 2 * len(children) - 1)
                 for _tc2, ch in children:
                     cns, p = K.varint_decode(buf, 1, p)
                     emit((cname or "") + (ch or ""), int(cns[0]))

@@ -183,8 +183,15 @@ def _knn_ring_pass(
     """One cell-ring candidate pass → (resolved top-k rows, resolved qids).
 
     A query is *resolved* iff it found ≥ k candidates and its kth distance
-    < ring × cell_size_km(lat) — every unsearched point is provably farther
-    (mercator cells are locally square: size ≈ C·cos(lat)/2^level).
+    < ring × min_cell_size_km — every unsearched point is provably farther.
+    Mercator cells are locally square (size ≈ C·cos(lat)/2^level) but shrink
+    poleward, so the bound uses cos at the **poleward boundary of the
+    searched window** (tile rows qcy−ring … qcy+ring), not the query
+    latitude: the meridional ground distance from the query to the window
+    edge is ≥ ring × the smallest cell height inside the window, and the
+    zonal distance at the query's own latitude is ≥ the same (cos(lat_q) ≥
+    cos(lat_edge)). Using cos(lat_q) alone would over-resolve queries whose
+    true kth neighbor hides just beyond the poleward ring (~8% at lat 49).
     """
     n = 2**level
     offs = F.sequence(F.lit(-ring), F.lit(ring))
@@ -230,12 +237,15 @@ def _knn_ring_pass(
         F.first(k_col).alias("_k"),
         F.first("lat").alias("_lat"),
     )
+    qcy = TM.lat_to_tile_y(F.col("_lat"), level)
+    lat_north = TM.tile_to_lat(F.greatest(F.lit(0), qcy - F.lit(ring)), level)
+    lat_south = TM.tile_to_lat(F.least(F.lit(n), qcy + F.lit(ring + 1)), level)
+    cos_edge = F.least(F.cos(F.radians(lat_north)), F.cos(F.radians(lat_south)))
     resolved_ids = per_q.filter(
         (F.col("found") >= F.col("_k"))
         & (
             F.col("kth_dist")
-            < F.lit(float(ring))
-            * (F.lit(EARTH_CIRCUMFERENCE_KM) * F.cos(F.radians(F.col("_lat"))) / F.lit(float(n)))
+            < F.lit(float(ring)) * (F.lit(EARTH_CIRCUMFERENCE_KM) * cos_edge / F.lit(float(n)))
         )
     ).select(qid_col)
     resolved = topk.join(F.broadcast(resolved_ids), qid_col, "left_semi")

@@ -22,7 +22,7 @@ import os
 import time
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -90,13 +90,21 @@ class CheckpointedRun:
             if fail_after is not None and processed >= fail_after:
                 raise RuntimeError(f"simulated failure after {processed} batches")
             t0 = time.perf_counter()
-            batch_df = tagged.filter(F.col("_batch") == b).drop("_batch")
-            out = transform(batch_df)
+            # observe() rides the write job itself: rows_in/rows_out come
+            # from the single action, with no re-execution of the source
+            # scan or the transform (which could diverge if nondeterministic)
+            obs_in, obs_out = Observation(), Observation()
+            batch_df = (
+                tagged.filter(F.col("_batch") == b)
+                .drop("_batch")
+                .observe(obs_in, F.count(F.lit(1)).alias("n"))
+            )
+            out = transform(batch_df).observe(obs_out, F.count(F.lit(1)).alias("n"))
             out_path = os.path.join(self.output_path, f"batch={b}")
             out.write.mode("overwrite").parquet(out_path)
-            rows_in = batch_df.count()
-            rows_out = out.count()
             elapsed = time.perf_counter() - t0
+            rows_in = int(obs_in.get["n"])
+            rows_out = int(obs_out.get["n"])
             rec = BatchRecord(
                 batch=b,
                 n_batches=self.n_batches,

@@ -341,8 +341,24 @@ class TestInspect:
 
     def test_inspect_full_corpus(self):
         import glob
-        for f in sorted(glob.glob("/root/reference/test/expected/tag0x01/omt/*.mlt"))[:10]:
+        # every reference fixture (omt tiles carry shared-dict struct
+        # columns, the historical over-read regression)
+        for f in sorted(glob.glob("/root/reference/test/expected/tag0x01/**/*.mlt", recursive=True)):
             buf = open(f, "rb").read()
             recs = C.inspect_tile(buf)
             assert len(recs) > 0
             assert sum(r["byte_length"] for r in recs) <= len(buf)
+
+    def test_inspect_struct_tile(self):
+        # regression: the declared shared-dict stream count (3+2*children)
+        # includes the child varints; inspect must not over-read a header
+        g = _mk_geometry([C.MLT_POINT] * 3, np.random.RandomState(7))
+        st = C.StructColumn("name", [(":en", ["a", "b", None]), (":de", ["x", None, "y"])])
+        layer = C.LayerData("t", 4096, g, ids=np.arange(3), props=[], structs=[st])
+        buf = C.encode_tile([layer])
+        recs = C.inspect_tile(buf)
+        assert [r["column"] for r in recs] == [
+            "id", "geometry", "geometry", "name", "name",
+            "name:en", "name:en", "name:de", "name:de",
+        ]
+        assert C.decode_tile(buf)[0].props["name:en"] == ["a", "b", None]

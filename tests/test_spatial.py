@@ -101,6 +101,32 @@ class TestKnnJoin:
         for qid in expected:
             assert got[qid] == expected[qid], f"mismatch for {qid}"
 
+    def test_high_latitude_poleward_bound(self, spark):
+        # regression: the resolution bound must use cos at the poleward edge
+        # of the searched ring, not the query latitude — mercator cells
+        # shrink poleward, so a true k-nearest point can hide just beyond
+        # the poleward ring while the kth found distance still beats the
+        # query-latitude bound. Dense high-latitude band stresses this.
+        rng = np.random.RandomState(11)
+        lon = rng.uniform(-30.0, 30.0, 600)
+        lat = rng.uniform(55.0, 82.0, 600)
+        pts = spark.createDataFrame(
+            [(f"hp-{i:04d}", float(x), float(y)) for i, (x, y) in enumerate(zip(lon, lat))],
+            "pid string, lon double, lat double",
+        ).cache()
+        qlon = rng.uniform(-25.0, 25.0, 50)
+        qlat = rng.uniform(58.0, 80.0, 50)
+        queries = spark.createDataFrame(
+            [(f"hq-{i:03d}", float(x), float(y), 5) for i, (x, y) in enumerate(zip(qlon, qlat))],
+            "qid string, lon double, lat double, k int",
+        )
+        got_rows = S.knn_join(queries, pts).collect()
+        got = {}
+        for r in sorted(got_rows, key=lambda r: (r.qid, r.rank)):
+            got.setdefault(r.qid, []).append(r.pid)
+        expected = self._brute(queries.collect(), pts.collect())
+        assert got == expected
+
     def test_k_larger_than_candidates_resolved_by_fallback(self, spark, points):
         queries = spark.createDataFrame(
             [("q-big", -100.0, 40.0, 399)], "qid string, lon double, lat double, k int"
@@ -136,6 +162,14 @@ class TestCompactCover:
         cells = [(6, 10, 20), (6, 11, 20), (6, 10, 21), (6, 11, 21), (6, 13, 20)]
         out = G.compact_cells(cells, {4, 5, 6})
         assert (5, 5, 10) in out and (6, 13, 20) in out
+        assert len(out) == 2
+
+    def test_compact_skip_level_merges_4x4(self):
+        # the default PIP level set (4,6,8,10,12) skips odd levels: a
+        # complete 4x4 grandchild block must merge two levels up
+        cells = [(6, 40 + dx, 80 + dy) for dx in range(4) for dy in range(4)] + [(6, 45, 80)]
+        out = G.compact_cells(cells, {4, 6})
+        assert (4, 10, 20) in out and (6, 45, 80) in out
         assert len(out) == 2
 
     def test_compact_respects_allowed_levels(self):
