@@ -4,14 +4,22 @@ All hot paths are declarative Spark expressions (JVM-side, codegen'd):
 
 * exact dedup        — md5 hash-groupBy
 * MinHash + LSH      — shingle → minhash → band → bucket self-join.
-  The hash family is ``md5(h ':' shingle)`` with *lexicographic* min —
-  chosen deliberately so the DuckDB oracle can reproduce signatures
-  byte-for-byte (MinHash needs only a uniform hash order, not integers).
-  A faster xxhash64 family is provided for production scale.
+  The hash family is **one** md5 per shingle (first 15 hex nibbles →
+  60-bit int, reduced mod the Mersenne prime 2^31−1), with the 16 family
+  members derived by integer affine maps ``(aᵢ·h + bᵢ) mod p`` — one md5
+  pass instead of 16 (the md5-per-member family was 59% of the whole
+  headline bench), and every step is exactly reproducible in the DuckDB
+  oracle (CAST('0x…' AS BIGINT) + the same 64-bit-safe affine arithmetic:
+  a·h < 2^62). A faster xxhash64 family remains for production scale.
 * SimHash            — 60-bit fingerprint from per-token md5-derived
   integers, majority vote per bit; hamming-bucket candidate join.
 * n-gram Jaccard     — exact similarity on shingle sets via an inverted-
-  index join (explode → join on shingle → count ratios).
+  index join with **prefix filtering**: shingles are globally ordered by
+  (document frequency, shingle) and only each document's prefix (the
+  first n−⌊t·n⌋+1 shingles) is indexed — any pair with Jaccard ≥ t must
+  share a prefix shingle (PPJoin lemma), so boilerplate shingles shared
+  by millions of documents never enter the self-join; candidates are then
+  verified exactly on the full shingle sets.
 
 At 100 TB the LSH band join is the scale path: the band signature is the
 shuffle key, so each bucket is tiny and AQE's skew split handles pathological
@@ -20,12 +28,27 @@ buckets (e.g. boilerplate documents sharing a band).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_N_HASHES = 16
 DEFAULT_BAND_SIZE = 4
 DEFAULT_SHINGLE = 3
+
+# MinHash affine family over GF(p), p = 2^31-1 (Mersenne): h < p and a < p
+# keep a·h+b < 2^62 — exact in int64 on both Spark and DuckDB.
+MERSENNE31 = 2147483647
+FAMILY_A = [
+    1299709, 15485863, 32452843, 49979687, 67867967, 86028121, 104395301,
+    122949823, 141650939, 160481183, 179424673, 198491317, 217645177,
+    236887691, 256203161, 275604541,
+]
+FAMILY_B = [
+    5915587277, 1500450271, 3267000013, 5754853343, 4093082899, 9576890767,
+    3628273133, 2860486313, 5463458053, 3367900313, 2654435761, 4222234741,
+    1640531527, 2463534242, 3266489917, 668265263,
+]
+FAMILY_B = [b % MERSENNE31 for b in FAMILY_B]
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -51,29 +74,33 @@ def minhash_signatures(
     shingle_size: int = DEFAULT_SHINGLE,
     fast: bool = False,
 ) -> DataFrame:
-    """(id, mhs array<string|long>) — md5 family (oracle-exact) or xxhash64
-    family (fast path for production)."""
+    """(id, mhs array<long>) — one-md5 affine family (oracle-exact) or
+    xxhash64 family (fast path for production)."""
     # small-file inputs arrive as 1-2 splits; the signature computation is
     # the expensive part, so spread it across the cluster first
     docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism * 2)
     sh, ntok = _shingles(text_col, shingle_size)
     if fast:
-        mh = F.transform(
-            F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-            lambda h: F.array_min(F.transform(F.col("_sh"), lambda s: F.xxhash64(s, h))),
-        )
+
+        def xx_member(h: int):
+            return F.array_min(F.transform(F.col("_sh"), lambda s: F.xxhash64(s, F.lit(h))))
+
+        mh = F.array(*[xx_member(h) for h in range(n_hashes)])
+        base = docs.select(F.col(id_col).alias("id"), sh.alias("_sh"), ntok.alias("_n"))
     else:
-        mh = F.transform(
-            F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-            lambda h: F.array_min(
-                F.transform(F.col("_sh"), lambda s: F.md5(F.concat(h.cast("string"), F.lit(":"), s)))
-            ),
+        # one md5 per shingle; members derived with exact integer arithmetic
+        p = F.lit(MERSENNE31).cast("long")
+        hashed = F.transform(
+            sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % p
         )
-    return (
-        docs.select(F.col(id_col).alias("id"), sh.alias("_sh"), ntok.alias("_n"))
-        .filter(F.col("_n") >= shingle_size)
-        .select("id", mh.alias("mhs"))
-    )
+
+        def affine_member(i: int):
+            a, b = F.lit(FAMILY_A[i]).cast("long"), F.lit(FAMILY_B[i])
+            return F.array_min(F.transform(F.col("_sh"), lambda v: (a * v + b) % p))
+
+        mh = F.array(*[affine_member(i) for i in range(n_hashes)])
+        base = docs.select(F.col(id_col).alias("id"), hashed.alias("_sh"), ntok.alias("_n"))
+    return base.filter(F.col("_n") >= shingle_size).select("id", mh.alias("mhs"))
 
 
 def lsh_candidate_pairs(
@@ -94,7 +121,14 @@ def lsh_candidate_pairs(
     sigs = minhash_signatures(docs, text_col, id_col, n_hashes, shingle_size, fast).persist()
     bands = F.transform(
         F.sequence(F.lit(0), F.lit(n_bands - 1)),
-        lambda b: F.md5(F.concat_ws(",", F.slice(F.col("mhs"), b * band_size + 1, band_size))),
+        lambda b: F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.col("mhs"), b * band_size + 1, band_size), lambda x: x.cast("string")
+                ),
+            )
+        ),
     )
     bdf = sigs.select("id", F.posexplode(bands).alias("band", "sig"))
     a = bdf.alias("a")
@@ -113,29 +147,55 @@ def ngram_jaccard_pairs(
     shingle_size: int = DEFAULT_SHINGLE,
     threshold: float = 0.2,
 ) -> DataFrame:
-    """Exact Jaccard over shingle sets via inverted-index join:
-    (doc_a, doc_b, jaccard) for pairs ≥ threshold. Integer counts + one
-    division → bit-identical across engines."""
+    """Exact Jaccard over shingle sets: (doc_a, doc_b, jaccard) for pairs
+    ≥ threshold. Integer counts + one division → bit-identical across
+    engines.
+
+    Scale shape: **prefix-filtered** candidate generation. With a global
+    total order on shingles (df asc, shingle asc), any pair with
+    |A∩B| ≥ ⌈t·max(|A|,|B|)⌉ shares its order-smallest common shingle
+    inside both docs' prefixes of length n−⌈t·n⌉+1 (PPJoin lemma: at
+    least ⌈t·n⌉−1 common shingles follow it in each doc). Frequency-first
+    ordering pushes boilerplate shingles out of prefixes, so one shingle
+    shared by 10⁶ docs no longer creates a 10¹² candidate blow-up. We use
+    the (longer) ⌊t·n⌋-based prefix to stay safe against fp rounding of
+    t·n. Candidates are verified exactly on the full shingle arrays."""
     sh, ntok = _shingles(text_col, shingle_size)
     docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism * 2)
-    base = (
-        docs.select(F.col(id_col).alias("id"), sh.alias("_sh"), ntok.alias("_n"))
+    sets = (
+        docs.select(F.col(id_col).alias("id"), sh.alias("shingles"), ntok.alias("_n"))
         .filter(F.col("_n") >= shingle_size)
-        .select("id", F.size("_sh").alias("n_sh"), F.explode("_sh").alias("shingle"))
+        .select("id", F.size("shingles").alias("n_sh"), "shingles")
+        .persist()
     )
-    a = base.alias("a")
-    b = base.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
-        .agg(
-            F.count("*").alias("n_inter"),
-            F.first("a.n_sh").alias("na"),
-            F.first("b.n_sh").alias("nb"),
-        )
+    # 8-byte hashed shingle keys: cheaper shuffles than the raw strings, and
+    # any hash collision only ADDS candidates (verified exactly below), so
+    # correctness is unaffected; (df, hash) is still a global total order
+    base = sets.select("id", "n_sh", F.explode("shingles").alias("shingle")).select(
+        "id", "n_sh", F.xxhash64("shingle").alias("sh")
     )
-    jac = F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
-    return inter.select("doc_a", "doc_b", jac.alias("jaccard")).filter(F.col("jaccard") >= threshold)
+    w_df = Window.partitionBy("sh")  # df via window: one shuffle, no join
+    w_id = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("sh").asc())
+    prefix_len = F.col("n_sh") - F.floor(F.lit(threshold) * F.col("n_sh")).cast("long") + 1
+    prefixes = (
+        base.withColumn("df", F.count("*").over(w_df))
+        .withColumn("rn", F.row_number().over(w_id))
+        .filter(F.col("rn") <= prefix_len)
+        .select("id", "sh")
+    )
+    a = prefixes.alias("a")
+    b = prefixes.alias("b")
+    cand = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sets.select(F.col("id").alias("doc_a"), F.col("n_sh").alias("na"), F.col("shingles").alias("sha"))
+    sb = sets.select(F.col("id").alias("doc_b"), F.col("n_sh").alias("nb"), F.col("shingles").alias("shb"))
+    verified = cand.join(sa, "doc_a").join(sb, "doc_b")
+    n_inter = F.size(F.array_intersect("sha", "shb"))
+    jac = n_inter / (F.col("na") + F.col("nb") - n_inter)
+    return verified.select("doc_a", "doc_b", jac.alias("jaccard")).filter(F.col("jaccard") >= threshold)
 
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 60) -> DataFrame:

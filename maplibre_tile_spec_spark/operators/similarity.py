@@ -84,6 +84,89 @@ def random_hyperplane_signatures(
     return df.select(F.col(id_col), "embedding").mapInPandas(sign_batch, schema="id long, sig long")
 
 
+def rademacher_planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    """±1 sign planes derived from the deterministic hash matrix."""
+    return np.where(_plane_matrix(dim, n_planes, seed) > 0, 1, -1).astype(np.int64)
+
+
+QUANT_SCALE = 1048576.0  # 2^20: power of two ⇒ float×scale is exact
+
+
+def rademacher_signature(emb_col, planes: np.ndarray):
+    """Signature as a pure Catalyst expression over **integer-quantized**
+    embeddings: qⱼ = floor(embⱼ·2^20) is exact on any engine (scaling by a
+    power of two is lossless), the ±1 dot product is an integer sum, and
+    the sign test can never flip on float summation order — which makes
+    the signature bit-for-bit reproducible in the DuckDB oracle (the
+    float-plane mapInPandas path stays for production throughput)."""
+    q = F.transform(emb_col, lambda x: F.floor(x.cast("double") * F.lit(QUANT_SCALE)).cast("long"))
+    sig = F.lit(0).cast("long")
+    for p in range(planes.shape[0]):
+        lits = F.array(*[F.lit(int(v)).cast("long") for v in planes[p]])
+        dot = F.aggregate(
+            F.zip_with(q, lits, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(dot > 0, F.lit(2**p).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def ann_lsh_topk_catalyst(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 16,
+    band_bits: int = 2,
+    seed: int = 7,
+    qid_col: str = "qid",
+    cid_col: str = "cid",
+) -> DataFrame:
+    """ann_lsh_topk with the oracle-exact Rademacher signature (no Python
+    anywhere in the plan: signatures, bands, join, and re-rank are all
+    Catalyst expressions)."""
+    planes = rademacher_planes(dim, n_planes, seed)
+    n_bands = n_planes // band_bits
+
+    def bands(df: DataFrame, id_col: str) -> DataFrame:
+        sig = rademacher_signature(F.col("embedding"), planes)
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftrightunsigned(F.col("sig"), b * band_bits)
+                    .bitwiseAND(F.lit(2**band_bits - 1))
+                    .alias("key"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+        return (
+            df.select(F.col(id_col), sig.alias("sig"))
+            .select(id_col, F.explode(arr).alias("b"))
+            .select(id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+        )
+
+    qb = bands(queries, qid_col)
+    cb = bands(corpus, cid_col)
+    cand_ids = (
+        qb.join(cb, ["band", "key"])
+        .filter(F.col(qid_col) != F.col(cid_col))
+        .select(qid_col, cid_col)
+        .distinct()
+    )
+    q = queries.select(F.col(qid_col), F.col("embedding").alias("q_emb"))
+    c = corpus.select(F.col(cid_col), F.col("embedding").alias("c_emb"))
+    cand = cand_ids.join(F.broadcast(q), qid_col).join(c, cid_col)
+    w = Window.partitionBy(qid_col).orderBy(F.col("cos").desc(), F.col(cid_col).asc())
+    return (
+        cand.select(qid_col, cid_col, cosine(F.col("q_emb"), F.col("c_emb")).alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ann_lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -387,13 +387,13 @@ def build_parent_tiles(tiles: DataFrame, extent: int = 4096) -> DataFrame:
     the geometry work. Apply iteratively for a full overview pyramid."""
 
     def merge_group(key, pdf):
-        z, px, py = int(key[0]), int(key[1]), int(key[2])
+        pz, px, py = int(key[0]), int(key[1]), int(key[2])
         per_layer: dict[str, list] = {}
-        for _, row in pdf.iterrows():
-            cx, cy = int(row["x"]), int(row["y"])
+        for cx, cy, blob in zip(pdf["x"], pdf["y"], pdf["tile"]):
+            cx, cy = int(cx), int(cy)
             ox = (cx & 1) * extent // 2
             oy = (cy & 1) * extent // 2
-            for la in C.decode_tile(bytes(row["tile"])):
+            for la in C.decode_tile(bytes(blob)):
                 g = la.geometry
                 v = g.vertices.copy()
                 v[0::2] = v[0::2] // 2 + ox
@@ -420,21 +420,28 @@ def build_parent_tiles(tiles: DataFrame, extent: int = 4096) -> DataFrame:
             n_feat += n
             n_vert += merged.vertices.shape[0] // 2
         return pd.DataFrame(
-            {"x": [px], "y": [py], "n_features": [n_feat], "n_vertices": [n_vert], "part": [parts]}
+            {
+                "z": [pz],
+                "x": [px],
+                "y": [py],
+                "n_features": [n_feat],
+                "n_vertices": [n_vert],
+                "part": [parts],
+            }
         )
 
     parent = tiles.select(
-        (F.col("z") - 1).alias("pz"),
+        (F.col("z") - 1).cast("int").alias("pz"),
         F.shiftrightunsigned(F.col("x"), 1).cast("int").alias("px"),
         F.shiftrightunsigned(F.col("y"), 1).cast("int").alias("py"),
         "x",
         "y",
         "tile",
     )
-    out = parent.groupBy("pz", "px", "py").applyInPandas(merge_group, schema=TILE_SCHEMA)
-    pz = tiles.select(F.first("z")).first()[0] - 1
+    # the parent zoom comes from the group key — no driver-side action
+    out = parent.groupBy("pz", "px", "py").applyInPandas(merge_group, schema="z int, " + TILE_SCHEMA)
     return out.select(
-        F.lit(pz).alias("z"),
+        "z",
         "x",
         "y",
         "n_features",

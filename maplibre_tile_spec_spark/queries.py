@@ -291,19 +291,47 @@ FROM (
 """
 
 
+RLE_BUCKET_WIDTH = 4096  # rows per ordered bucket; bucket count grows with data
+
+
 def q_rle_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run-length encoding of the event_type stream ordered by event_id
-    (EncodingUtils.encodeRle semantics as a window + group-by)."""
+    (EncodingUtils.encodeRle semantics), **two-phase partitioned**: a
+    global ``Window.orderBy`` would serialize every row through one task,
+    so runs are computed per contiguous event_id bucket (floor division is
+    order-preserving across buckets), then boundary runs are stitched with
+    a window over the tiny per-bucket summary (#buckets rows, not #rows).
+    Output run ids are identical to the sequential definition: bucket b's
+    run offset = Σ runs before b − Σ boundary merges up to b, so a run
+    crossing a boundary keeps one global id and its partial counts
+    combine in the final group-by."""
     ev = tables.load(spark, sf_dir, "events")
-    w = Window.orderBy("event_id")
+    bucketed = ev.select(
+        "event_id", "event_type", (F.col("event_id") / RLE_BUCKET_WIDTH).cast("long").alias("_b")
+    )
+    wb = Window.partitionBy("_b").orderBy("event_id")
     chg = F.when(
-        F.lag("event_type", 1).over(w).isNull()
-        | (F.lag("event_type", 1).over(w) != F.col("event_type")),
+        F.lag("event_type", 1).over(wb).isNull()
+        | (F.lag("event_type", 1).over(wb) != F.col("event_type")),
         1,
     ).otherwise(0)
-    run_id = F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    local_run = F.sum(chg).over(wb.rowsBetween(Window.unboundedPreceding, 0))
+    flagged = bucketed.select("_b", "event_id", "event_type", local_run.alias("_lr"))
+    summary = flagged.groupBy("_b").agg(
+        F.max("_lr").alias("_n_runs"),
+        F.min_by("event_type", "event_id").alias("_first_type"),
+        F.max_by("event_type", "event_id").alias("_last_type"),
+    )
+    ws = Window.orderBy("_b")  # tiny: one row per bucket
+    merge = F.when(F.lag("_last_type", 1).over(ws) == F.col("_first_type"), 1).otherwise(0)
+    flagged_summary = summary.select("_b", "_n_runs", merge.alias("_merge"))
+    offset = F.coalesce(
+        F.sum("_n_runs").over(ws.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    ) - F.sum("_merge").over(ws.rowsBetween(Window.unboundedPreceding, 0))
+    offsets = flagged_summary.select("_b", offset.alias("_off"))
     return (
-        ev.select(F.col("event_type"), run_id.alias("run_id"))
+        flagged.join(F.broadcast(offsets), "_b")
+        .select("event_type", (F.col("_lr") + F.col("_off")).alias("run_id"))
         .groupBy("run_id", "event_type")
         .agg(F.count("*").alias("run_len"))
         .select(F.col("run_id").cast("long"), "event_type", F.col("run_len").cast("long"))
@@ -554,17 +582,28 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_minhash_lsh_pairs() -> str:
-    return r"""
+    from maplibre_tile_spec_spark.operators.dedup import FAMILY_A, FAMILY_B, MERSENNE31
+
+    members = ",\n           ".join(
+        f"list_min(list_transform(hs, v -> ({a} * v + {b}) % {MERSENNE31}))"
+        for a, b in zip(FAMILY_A, FAMILY_B)
+    )
+    return rf"""
 WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
 sh AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
   FROM toks WHERE len(t) >= 3
 ),
+hashed AS (
+  SELECT doc_id,
+         list_transform(shingles, s -> CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) % {MERSENNE31}) AS hs
+  FROM sh
+),
 mh AS (
   SELECT doc_id,
-         list_transform(range(0, 16), h -> list_min(list_transform(shingles, s -> md5(h::VARCHAR || ':' || s)))) AS mhs
-  FROM sh
+         [{members}] AS mhs
+  FROM hashed
 ),
 bands AS (
   SELECT doc_id, u.b AS band, md5(array_to_string(mhs[u.b*4+1 : u.b*4+4], ',')) AS sig
@@ -717,14 +756,51 @@ FROM toks
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming ≤ 3, pigeonhole-blocked join) —
-    rows-only driver check; pytest verifies against brute-force hamming."""
+    """SimHash near-dup pairs (hamming ≤ 3, pigeonhole-blocked join)."""
     from maplibre_tile_spec_spark.operators import dedup
 
     d = tables.load(spark, sf_dir, "documents")
     return dedup.simhash_near_pairs(d).select(
         F.col("doc_a").cast("long"), F.col("doc_b").cast("long"), F.col("hamming").cast("long")
     )
+
+
+def _sql_simhash_pairs(bits: int = 60, n_blocks: int = 4, max_hamming: int = 3) -> str:
+    """SQL twin of dedup.simhash + simhash_near_pairs: token hash = first
+    15 md5 nibbles as a 60-bit int (CAST('0x…')), per-bit ±1 majority vote,
+    pigeonhole block join, exact hamming via bit_count(xor)."""
+    block_bits = bits // n_blocks
+    bit_sums = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(bits)
+    )
+    sim_expr = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST({2**i} AS BIGINT) ELSE 0 END)" for i in range(bits)
+    )
+    block_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS blk, (sim >> {b * block_bits}) & {2**block_bits - 1} AS key, sim FROM sims"
+        for b in range(n_blocks)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok FROM documents
+),
+h AS (
+  SELECT doc_id, CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks
+),
+votes AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM h GROUP BY doc_id
+),
+sims AS (SELECT doc_id, {sim_expr} AS sim FROM votes),
+blocks AS (
+  {block_rows}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
+"""
 
 
 def q_tpch_q3_like(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -931,27 +1007,131 @@ FROM flags
 """
 
 
+EMB_DIM = 64  # embeddings.parquet vector width (fixed across SFs)
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate nearest neighbors (scale path; rows-only
-    driver check — pytest measures ≥0.9 recall vs the exact oracle)."""
+    """LSH-bucketed approximate nearest neighbors (scale path) with the
+    oracle-exact Rademacher-signature variant: quantized-integer sign
+    projections + exact cosine re-rank, all Catalyst."""
     from maplibre_tile_spec_spark.operators import similarity
 
     emb = tables.load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 20).select(F.col("vec_id").alias("qid"), "embedding")
     c = emb.select(F.col("vec_id").alias("cid"), "embedding")
-    out = similarity.ann_lsh_topk(q, c, k=5)
+    out = similarity.ann_lsh_topk_catalyst(q, c, dim=EMB_DIM, k=5)
     return out.select(
         F.col("qid").cast("long"), F.col("cid").cast("long"), F.col("rank").cast("long")
     )
 
 
+def _sql_ann_cosine_topk(n_planes: int = 16, band_bits: int = 2, seed: int = 7, k: int = 5) -> str:
+    """SQL twin of ann_lsh_topk_catalyst: the ±1 plane matrix is embedded
+    as integer literals (same deterministic matrix the Spark side uses),
+    signatures are integer-exact, re-rank is the proven list_dot_product
+    cosine from the cosine_topk oracle."""
+    from maplibre_tile_spec_spark.operators.similarity import QUANT_SCALE, rademacher_planes
+
+    planes = rademacher_planes(EMB_DIM, n_planes, seed)
+    n_bands = n_planes // band_bits
+    dots = []
+    for p in range(n_planes):
+        row = ", ".join(str(int(v)) for v in planes[p])
+        dots.append(
+            f"(CASE WHEN list_dot_product(qi, [{row}]) > 0 THEN CAST({2**p} AS BIGINT) ELSE 0 END)"
+        )
+    sig_expr = " + ".join(dots)
+    band_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, {b} AS band, (sig >> {b * band_bits}) & {2**band_bits - 1} AS key FROM sigs"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+qz AS (
+  SELECT vec_id, list_transform(emb, x -> CAST(floor(x * {QUANT_SCALE}) AS BIGINT)) AS qi FROM e
+),
+sigs AS (SELECT vec_id, {sig_expr} AS sig FROM qz),
+bands AS (
+  {band_rows}
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+  FROM bands q JOIN bands c ON q.band = c.band AND q.key = c.key
+  WHERE q.vec_id < 20 AND q.vec_id != c.vec_id
+),
+scored AS (
+  SELECT cand.qid, cand.cid,
+         list_dot_product(qe.emb, ce.emb)
+           / (sqrt(list_dot_product(qe.emb, qe.emb)) * sqrt(list_dot_product(ce.emb, ce.emb))) AS cos
+  FROM cand JOIN e qe ON qe.vec_id = cand.qid JOIN e ce ON ce.vec_id = cand.cid
+)
+SELECT qid, cid, rank
+FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank FROM scored)
+WHERE rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# tile-encode queries over an interleaved documents table whose geometry is
+# derived from the events table by pure integer arithmetic — so the DuckDB
+# oracle can recompute the expected tile contents exactly, while the Spark
+# side runs the REAL pipeline: spans → WKT parse → quantize → MLT encode
+# (→ decode for the roundtrip query). WKT coordinates are CAST(double AS
+# STRING) shortest-repr, which parses back to the identical double.
+# ---------------------------------------------------------------------------
+
+N_GEO_MEMBERS = 3  # multipoint members per doc in the clipped query
+
+
+def _member_lon(j: int):
+    return F.lit(-125.0) + ((F.col("event_id") * 2654435761 + F.lit(j * 97)) % 1000000) / 1000000.0 * 59.0
+
+
+def _member_lat(j: int):
+    return F.lit(24.0) + ((F.col("event_id") * 40503 + F.lit(7 + j * 131)) % 1000000) / 1000000.0 * 25.0
+
+
+def _member_lon_sql(j: int) -> str:
+    return f"-125.0 + ((event_id * 2654435761 + {j * 97}) % 1000000) / 1000000.0 * 59.0"
+
+
+def _member_lat_sql(j: int) -> str:
+    return f"24.0 + ((event_id * 40503 + {7 + j * 131}) % 1000000) / 1000000.0 * 25.0"
+
+
+def _geo_docs_from_events(spark: SparkSession, sf_dir: str, multi: bool = False) -> DataFrame:
+    """Interleaved documents (doc_id, spans[text, geom]) with POINT (or
+    3-member MULTIPOINT) WKT whose coordinates are exact-roundtrip string
+    casts of integer-derived doubles."""
+    ev = tables.load(spark, sf_dir, "events")
+    coord = lambda j: F.concat(_member_lon(j).cast("string"), F.lit(" "), _member_lat(j).cast("string"))  # noqa: E731
+    if multi:
+        body = F.concat_ws(", ", *[coord(j) for j in range(N_GEO_MEMBERS)])
+        wkt = F.concat(F.lit("MULTIPOINT ("), body, F.lit(")"))
+    else:
+        wkt = F.concat(F.lit("POINT ("), coord(0), F.lit(")"))
+    span = lambda kind, text, ref, off: F.struct(  # noqa: E731
+        F.lit(kind).alias("kind"), text.alias("text"), F.lit(ref).alias("media_ref"),
+        F.lit(off).cast("int").alias("offset"),
+    )
+    return ev.select(
+        F.concat(F.lit("doc-"), F.col("event_id").cast("string")).alias("doc_id"),
+        F.array(
+            span("text", F.col("event_type"), "", 0),
+            span("geom", wkt, "", 1),
+        ).alias("spans"),
+    )
+
+
 def q_mlt_tile_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full MLT tile assembly (binary output → rows-only driver check):
-    deterministic interleaved documents → features → groupBy-encode."""
+    """Full MLT tile assembly: interleaved documents → geom-span explode →
+    WKT parse → groupBy(x,y)-encode; per-tile stats come out of the real
+    encode kernel and are oracle-checked against an independent SQL tile
+    assignment (tile bytes themselves stay pytest/fixture-verified)."""
     from maplibre_tile_spec_spark.operators import features as FE
     from maplibre_tile_spec_spark.operators import tiler
 
-    docs = synth.synthesize_documents(spark, 2000, seed=42)
+    docs = _geo_docs_from_events(spark, sf_dir)
     feats = FE.extract_features(docs)
     return tiler.encode_tiles(feats, zoom=8).select(
         F.col("z").cast("long"),
@@ -959,34 +1139,86 @@ def q_mlt_tile_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y").cast("long"),
         F.col("n_features"),
         F.col("n_vertices"),
-        F.col("byte_size"),
     )
 
 
+def _sql_mlt_tile_encode() -> str:
+    return f"""
+WITH pts AS (SELECT event_id, {_member_lon_sql(0)} AS lon, {_member_lat_sql(0)} AS lat FROM events)
+SELECT CAST(8 AS BIGINT) AS z, {TM.tile_x_sql('lon', 8)} AS x, {TM.tile_y_sql('lat', 8)} AS y,
+       count(*) AS n_features, count(*) AS n_vertices
+FROM pts GROUP BY 2, 3
+"""
+
+
 def q_mlt_tile_encode_clipped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spanning-feature tiler with geometric clipping (rows-only check;
-    pytest asserts area/length partition invariants)."""
+    """Spanning-feature tiler with buffered clipping: 3-member MULTIPOINT
+    docs explode to every bbox tile and each tile keeps the members inside
+    its buffered window — near-edge members land in (and are encoded into)
+    multiple tiles, exactly as the SQL twin recomputes."""
     from maplibre_tile_spec_spark.operators import features as FE
     from maplibre_tile_spec_spark.operators import tiler
 
-    docs = synth.synthesize_documents(spark, 1500, seed=42)
+    docs = _geo_docs_from_events(spark, sf_dir, multi=True)
     feats = FE.extract_features(docs)
     return tiler.encode_tiles_clipped(feats, zoom=7, buffer=64).select(
         F.col("z").cast("long"),
         F.col("x").cast("long"),
         F.col("y").cast("long"),
         F.col("n_features"),
-        F.col("byte_size"),
+        F.col("n_vertices"),
     )
+
+
+def _sql_mlt_tile_encode_clipped(zoom: int = 7, extent: int = 4096, buffer: int = 64) -> str:
+    n = float(2**zoom)
+    members = "\n  UNION ALL\n  ".join(
+        f"SELECT event_id, {_member_lon_sql(j)} AS lon, {_member_lat_sql(j)} AS lat FROM events"
+        for j in range(N_GEO_MEMBERS)
+    )
+    fx = f"(lon + 180.0) / 360.0 * {n}"
+    fy = f"(1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * {n}"
+    return f"""
+WITH m AS (
+  {members}
+),
+feat AS (
+  SELECT event_id, min(lon) AS lon_min, max(lon) AS lon_max,
+         min(lat) AS lat_min, max(lat) AS lat_max
+  FROM m GROUP BY event_id
+),
+trange AS (
+  SELECT event_id,
+         {TM.tile_x_sql('lon_min', zoom)} AS x_lo, {TM.tile_x_sql('lon_max', zoom)} AS x_hi,
+         {TM.tile_y_sql('lat_max', zoom)} AS y_lo, {TM.tile_y_sql('lat_min', zoom)} AS y_hi
+  FROM feat
+),
+tiles AS (
+  SELECT event_id, unnest(range(x_lo, x_hi + 1)) AS x, y_lo, y_hi FROM trange
+),
+tilesxy AS (
+  SELECT event_id, x, unnest(range(y_lo, y_hi + 1)) AS y FROM tiles
+),
+kept AS (
+  SELECT t.event_id, t.x, t.y
+  FROM tilesxy t JOIN m ON m.event_id = t.event_id
+  WHERE ({fx.replace('lon', 'm.lon')} - t.x) * {extent} BETWEEN {-buffer} AND {extent + buffer}
+    AND ({fy.replace('lat', 'm.lat')} - t.y) * {extent} BETWEEN {-buffer} AND {extent + buffer}
+)
+SELECT CAST({zoom} AS BIGINT) AS z, x, y,
+       count(DISTINCT event_id) AS n_features, count(*) AS n_vertices
+FROM kept GROUP BY x, y
+"""
 
 
 def q_mlt_tile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encode then decode every tile; per-tile decoded feature membership
-    (rows-only check; pytest asserts equality with the declarative plan)."""
+    (ids, geometry type, vertex counts) read back from the tile BYTES must
+    match the SQL twin's independently computed expectation."""
     from maplibre_tile_spec_spark.operators import features as FE
     from maplibre_tile_spec_spark.operators import tiler
 
-    docs = synth.synthesize_documents(spark, 1000, seed=42)
+    docs = _geo_docs_from_events(spark, sf_dir)
     feats = FE.extract_features(docs)
     tiles = tiler.encode_tiles(feats, zoom=6)
     return tiler.decode_tiles_membership(tiles).select(
@@ -997,6 +1229,22 @@ def q_mlt_tile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("geom_type").cast("long"),
         F.col("n_vertices"),
     )
+
+
+def _sql_mlt_tile_roundtrip() -> str:
+    # ids are regenerated 0..n-1 per tile after the Hilbert sort
+    # (MltConverter.java:548-611 strategy), so the expected id SET per tile
+    # is range(count); every feature is a 1-vertex POINT (MLT ordinal 0)
+    return f"""
+WITH pts AS (SELECT event_id, {_member_lon_sql(0)} AS lon, {_member_lat_sql(0)} AS lat FROM events),
+t AS (
+  SELECT {TM.tile_x_sql('lon', 6)} AS x, {TM.tile_y_sql('lat', 6)} AS y, count(*) AS cnt
+  FROM pts GROUP BY 1, 2
+)
+SELECT CAST(6 AS BIGINT) AS z, x, y, unnest(range(0, cnt)) AS feature_id,
+       CAST(0 AS BIGINT) AS geom_type, CAST(1 AS BIGINT) AS n_vertices
+FROM t
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1029,11 +1277,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_events": q_pivot_events,
     "cube_lineitem": q_cube_lineitem,
     "asof_event_order": q_asof_event_order,
-    # rows-only checks below (no SQL oracle):
     "simhash_pairs": q_simhash_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
-    # binary/tile outputs — no SQL oracle (driver records rows-only check);
-    # exactness is asserted by pytest fixture parity + membership round-trip
     "mlt_tile_encode": q_mlt_tile_encode,
     "mlt_tile_encode_clipped": q_mlt_tile_encode_clipped,
     "mlt_tile_roundtrip": q_mlt_tile_roundtrip,
@@ -1065,4 +1310,9 @@ ORACLES: dict[str, str] = {
     "pivot_events": _sql_pivot_events(),
     "cube_lineitem": _sql_cube_lineitem(),
     "asof_event_order": _sql_asof_event_order(),
+    "simhash_pairs": _sql_simhash_pairs(),
+    "ann_cosine_topk": _sql_ann_cosine_topk(),
+    "mlt_tile_encode": _sql_mlt_tile_encode(),
+    "mlt_tile_encode_clipped": _sql_mlt_tile_encode_clipped(),
+    "mlt_tile_roundtrip": _sql_mlt_tile_roundtrip(),
 }

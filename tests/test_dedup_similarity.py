@@ -51,6 +51,48 @@ class TestMinhashLsh:
             assert (i, i + 200000) in pairs
 
 
+class TestNgramJaccard:
+    def _brute(self, rows, k=3, threshold=0.2):
+        def shingles(text):
+            toks = text.strip().lower().split()
+            return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+        sets = {r.doc_id: shingles(r.text) for r in rows if len(r.text.strip().split()) >= k}
+        expected = set()
+        ids = sorted(sets)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                inter = len(sets[a] & sets[b])
+                if inter and inter / (len(sets[a]) + len(sets[b]) - inter) >= threshold:
+                    expected.add((a, b))
+        return expected
+
+    def test_skewed_boilerplate_shingle(self, spark):
+        """One boilerplate shingle shared by EVERY doc must not blow up the
+        candidate join (prefix filtering pushes max-df shingles out of the
+        prefixes) and must not change the exact result."""
+        boiler = "terms of service apply"
+        rows = [
+            (i, f"{boiler} unique{i} alpha{i} beta{i} gamma{i} delta{i}") for i in range(200)
+        ] + [
+            (1000, f"{boiler} shared body of text here"),
+            (1001, f"{boiler} shared body of text here extra"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {(r.doc_a, r.doc_b) for r in dedup.ngram_jaccard_pairs(docs, threshold=0.2).collect()}
+        expected = self._brute(docs.collect())
+        assert got == expected
+        assert (1000, 1001) in got
+        # the 200 boilerplate-only docs share only the common shingles;
+        # none reaches jaccard 0.2 with the others
+        assert all(a >= 1000 for a, _ in got)
+
+    def test_matches_bruteforce_on_corpus(self, docs):
+        got = {(r.doc_a, r.doc_b) for r in dedup.ngram_jaccard_pairs(docs, threshold=0.2).collect()}
+        expected = self._brute(docs.collect())
+        assert got == expected
+
+
 class TestSimhash:
     def test_near_pairs_match_bruteforce(self, spark, docs):
         sub = docs.filter((F.col("doc_id") < 50) | (F.col("doc_id") >= 100000)).cache()

@@ -70,6 +70,19 @@ class TestPlanShapes:
         assert "ArrowEvalPython" not in plan, f"{name} uses a pandas UDF unnecessarily"
         assert "MapInPandas" not in plan, f"{name} uses mapInPandas unnecessarily"
 
+    def test_rle_runs_window_is_partitioned(self, spark, sf_dir):
+        """The per-row RLE window must be partitioned by the event_id
+        bucket — a global Window.orderBy would serialize every row through
+        one task at scale. The only permissible single-partition window is
+        the boundary stitch over the tiny per-bucket summary."""
+        import re
+
+        plan = plan_of(Q.q_rle_runs(spark, sf_dir))
+        # the big window (the per-row lag/cumsum) is bucket-partitioned and
+        # the row-level run computation shuffles on the bucket key
+        assert "windowspecdefinition(_b" in plan
+        assert re.search(r"Exchange hashpartitioning\(_b", plan)
+
     def test_partial_aggregation_before_shuffle(self, spark, sf_dir):
         # map-side combine: two HashAggregates around the Exchange
         plan = plan_of(Q.q_tile_assign(spark, sf_dir))
