@@ -1067,51 +1067,16 @@ def gunzip_tile(buf: bytes) -> bytes:
 # ---------------------------------------------------------------------------
 
 
-def fsst_encode(corpus: bytes, max_symbols: int = 254, sample_limit: int = 30000) -> tuple[bytes, np.ndarray, bytes]:
-    """Greedy FSST symbol-table construction + compression.
+def fsst_encode(corpus: bytes, sample_limit: int = 30000) -> tuple[bytes, np.ndarray, bytes]:
+    """FSST symbol-table construction + compression, byte-identical to the
+    reference encoder (SymbolTableBuilder.java:45-354 semantics including
+    its HashMap/PriorityQueue tie ordering — see functions/fsst.py;
+    verified byte-exact against all 2662 FSST streams in the reference
+    fixture corpus). Returns (symbol_table, symbol_lengths, compressed)."""
+    from maplibre_tile_spec_spark.functions import fsst as _fsst
 
-    Independent implementation of the FSST *contract* (symbols ≤ 8 bytes,
-    escape byte 255 copies the next byte verbatim — Fsst.java:7-45): the
-    reference builds its table with 6 sampled iterations
-    (SymbolTableBuilder.java:46-56); we use a single-pass substring-gain
-    greedy, so compressed bytes differ from the Java encoder while remaining
-    decodable by any conforming decoder (round-trips through fsst_decode).
-    Returns (symbol_table, symbol_lengths, compressed)."""
-    sample = corpus[:sample_limit]
-    gains: dict[bytes, int] = {}
-    n = len(sample)
-    for ln in (2, 3, 4, 6, 8):
-        counts: dict[bytes, int] = {}
-        step = 1 if ln <= 3 else 2
-        for i in range(0, n - ln + 1, step):
-            s = sample[i : i + ln]
-            counts[s] = counts.get(s, 0) + 1
-        for s, c in counts.items():
-            if c >= 2:
-                gains[s] = max(gains.get(s, 0), (len(s) - 1) * c)
-    symbols = [s for s, _ in sorted(gains.items(), key=lambda kv: (-kv[1], kv[0]))[:max_symbols]]
-    # longest-match lookup keyed by prefix
-    by_len: dict[int, dict[bytes, int]] = {}
-    for code, s in enumerate(symbols):
-        by_len.setdefault(len(s), {})[s] = code
-    lens_desc = sorted(by_len, reverse=True)
-    out = bytearray()
-    i = 0
-    n = len(corpus)
-    while i < n:
-        for ln in lens_desc:
-            code = by_len[ln].get(corpus[i : i + ln])
-            if code is not None:
-                out.append(code)
-                i += ln
-                break
-        else:
-            out.append(255)
-            out.append(corpus[i])
-            i += 1
-    table = b"".join(symbols)
-    lengths = np.array([len(s) for s in symbols], dtype=np.int64)
-    return table, lengths, bytes(out)
+    table, lens, comp = _fsst.build_and_encode(corpus, sample_size=sample_limit)
+    return table, np.array(lens, dtype=np.int64), comp
 
 
 def fsst_decode(symbol_table: bytes, symbol_lengths: np.ndarray, compressed: bytes) -> bytes:
