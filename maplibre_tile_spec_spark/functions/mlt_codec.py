@@ -256,10 +256,11 @@ def encode_geometry_column_pretessellated(g: GeometryColumn) -> tuple[int, bytes
     """Pretessellated + outlines layout (7 streams, GeometryEncoder.
     encodePretessellatedGeometryColumn:40-416 with outlines): types,
     GEOMETRIES (written even when empty), PARTS, RINGS, TRIANGLES,
-    OFFSET(INDEX), DATA(vertex buffer). Triangles come from our own ear
-    clipper (functions/tessellation.py) — format-valid, not byte-identical
-    to earcut4j's ordering. Triangle indices are local to each feature's
-    vertex range."""
+    OFFSET(INDEX), DATA(vertex buffer). Triangles come from the earcut
+    reimplementation (functions/earcut.py) in reference order — byte-
+    identical to the fixture triangle streams. Triangle indices are local
+    to each feature's vertex range; multipolygon members accumulate a
+    per-member vertex offset (TessellationUtils.tessellateMultiPolygon)."""
     from maplibre_tile_spec_spark.functions import tessellation as TS
 
     xs = g.vertices[0::2].astype(np.int64)
@@ -310,11 +311,14 @@ def encode_geometry_column_pretessellated(g: GeometryColumn) -> tuple[int, bytes
         else:  # MULTIPOLYGON
             npoly = int(g.num_geometries[gi]); gi += 1
             total = 0
+            base = 0
             for _ in range(npoly):
                 nr = int(g.num_parts[pi]); pi += 1
+                start_vi = vi
                 tris = TS.triangulate(rings_of(nr))
                 total += tris.shape[0]
-                index_buffer.extend(tris.ravel().tolist())
+                index_buffer.extend((tris.ravel() + base).tolist())
+                base += vi - start_vi
             n_tris.append(total)
 
     out = _int_stream(g.types.astype(np.int64), False, K.PST_LENGTH, 0)

@@ -226,16 +226,31 @@ def test_hilbert_order_matches_reference_dictionaries():
 
 @requires_fixtures
 @pytest.mark.parametrize(
-    "name", ["point-boolean", "line-boolean", "multipoint-boolean", "multiline-boolean"]
+    "name",
+    [
+        "point-boolean",
+        "line-boolean",
+        "multipoint-boolean",
+        "multiline-boolean",
+        "polygon-boolean",
+        "multipolygon-boolean",
+    ],
 )
 def test_encode_from_source_mvt_byte_exact(name):
-    """Full encoder-path parity: convert the SOURCE MVT to our layer model
-    and encode — the bytes must equal the reference encoder's expected tile
-    (non-tessellated classes; polygon classes carry earcut streams)."""
+    """Full encoder-path parity on ALL SIX simple classes: convert the
+    SOURCE MVT to our layer model and encode — the bytes must equal the
+    reference encoder's expected tile. Polygon classes exercise the
+    pretessellated layout: our earcut reimplementation must reproduce the
+    generator's triangle streams exactly."""
     mvt_layers = M.decode_mvt(open(f"{FIX}/simple/{name}.mvt", "rb").read())
     expected = open(f"{EXP}/simple/{name}.mlt", "rb").read()
 
+    def ring_area(r):
+        x, y = r[:, 0], r[:, 1]
+        return 0.5 * float(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))
+
     layers = []
+    tessellate = False
     for la in mvt_layers:
         types, num_geoms, num_parts, num_rings, verts = [], [], [], [], []
         ids = []
@@ -263,8 +278,26 @@ def test_encode_from_source_mvt_byte_exact(name):
                 for run in f.geometry:
                     (num_rings if contains_poly else num_parts).append(run.shape[0])
                     verts.extend(run.ravel().tolist())
-            else:
-                raise AssertionError("polygon classes not in this test")
+            else:  # polygon(s): exterior ring positive-area (MVT winding)
+                tessellate = True
+                polys = []
+                for r in f.geometry:
+                    closed = np.array_equal(r[0], r[-1])
+                    rr = r[:-1] if closed and r.shape[0] > 1 else r
+                    if ring_area(r) > 0 or not polys:
+                        polys.append([rr])
+                    else:
+                        polys[-1].append(rr)
+                if len(polys) == 1:
+                    types.append(C.MLT_POLYGON)
+                else:
+                    types.append(C.MLT_MULTIPOLYGON)
+                    num_geoms.append(len(polys))
+                for p in polys:
+                    num_parts.append(len(p))
+                    for rr in p:
+                        num_rings.append(rr.shape[0])
+                        verts.extend(rr.ravel().tolist())
         g = C.GeometryColumn(
             types=np.array(types, dtype=np.int64),
             num_geometries=np.array(num_geoms, dtype=np.int64),
@@ -279,6 +312,94 @@ def test_encode_from_source_mvt_byte_exact(name):
                 geometry=g,
                 ids=np.array(ids, dtype=np.int64),
                 props=[C.PropColumn(k, "boolean", v, nullable=True) for k, v in props.items()],
+                tessellate=tessellate,
             )
         )
     assert C.encode_tile(layers) == expected
+
+
+@requires_fixtures
+def test_tessellation_matches_fixture_triangle_streams():
+    """Earcut parity sample: recompute triangle index buffers for
+    tessellated fixture layers and compare to the stored streams (the full
+    548-layer corpus sweep passes; keep a cross-family sample for runtime)."""
+    sample = [
+        f"{EXP}/simple/polygon-boolean.mlt",
+        f"{EXP}/simple/multipolygon-boolean.mlt",
+        f"{EXP}/omt/10_530_684.mlt",
+        f"{EXP}/bing/4-12-6.mlt",
+        f"{EXP}/amazon/11_1037_704.mlt",
+    ]
+    from maplibre_tile_spec_spark.functions import earcut as E
+
+    checked = 0
+    for path in sample:
+        buf = open(path, "rb").read()
+        for la in C.decode_tile(buf):
+            if la.index_buffer is None or la.geometry is None:
+                continue
+            g = la.geometry
+            xs = g.vertices[0::2].astype(float)
+            ys = g.vertices[1::2].astype(float)
+            st = {"vi": 0, "gi": 0, "pi": 0, "ri": 0}
+            contains_poly = bool(np.isin(g.types, (C.MLT_POLYGON, C.MLT_MULTIPOLYGON)).any())
+            idx: list[int] = []
+            ntris: list[int] = []
+
+            def poly_data(nr):
+                data, holes, cnt = [], [], 0
+                for r in range(nr):
+                    n = int(g.num_rings[st["ri"]])
+                    st["ri"] += 1
+                    if r > 0:
+                        holes.append(cnt)
+                    for k in range(st["vi"], st["vi"] + n):
+                        data.append(xs[k])
+                        data.append(ys[k])
+                    cnt += n
+                    st["vi"] += n
+                return data, holes, cnt
+
+            for t in g.types.tolist():
+                if t == C.MLT_POINT:
+                    st["vi"] += 1
+                elif t == C.MLT_MULTIPOINT:
+                    st["vi"] += int(g.num_geometries[st["gi"]])
+                    st["gi"] += 1
+                elif t == C.MLT_LINESTRING:
+                    key = "ri" if contains_poly else "pi"
+                    arr = g.num_rings if contains_poly else g.num_parts
+                    st["vi"] += int(arr[st[key]])
+                    st[key] += 1
+                elif t == C.MLT_MULTILINESTRING:
+                    nl = int(g.num_geometries[st["gi"]])
+                    st["gi"] += 1
+                    for _ in range(nl):
+                        key = "ri" if contains_poly else "pi"
+                        arr = g.num_rings if contains_poly else g.num_parts
+                        st["vi"] += int(arr[st[key]])
+                        st[key] += 1
+                elif t == C.MLT_POLYGON:
+                    nr = int(g.num_parts[st["pi"]])
+                    st["pi"] += 1
+                    data, holes, _ = poly_data(nr)
+                    tri = E.earcut(data, holes or None, 2)
+                    idx.extend(tri)
+                    ntris.append(len(tri) // 3)
+                else:
+                    npoly = int(g.num_geometries[st["gi"]])
+                    st["gi"] += 1
+                    base = total = 0
+                    for _ in range(npoly):
+                        nr = int(g.num_parts[st["pi"]])
+                        st["pi"] += 1
+                        data, holes, cnt = poly_data(nr)
+                        tri = E.earcut(data, holes or None, 2)
+                        idx.extend(x + base for x in tri)
+                        base += cnt
+                        total += len(tri) // 3
+                    ntris.append(total)
+            assert idx == la.index_buffer.tolist(), path
+            assert ntris == la.triangles.tolist(), path
+            checked += 1
+    assert checked >= 5
