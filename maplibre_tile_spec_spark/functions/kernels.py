@@ -342,9 +342,17 @@ def decode_int_stream(
     num_runs_meta: int = 0,
     num_rle_values: int = 0,
     bits: int = 32,
+    plt: int = 2,  # PLT_VARINT
 ) -> tuple[np.ndarray, int]:
-    """Inverse of encode_int_stream for the varint physical level."""
-    raw, _ = varint_decode(buf, num_values, offset)
+    """Inverse of encode_int_stream for the varint and FastPFOR physical
+    levels (the latter decodes --enable-fastpfor tiles,
+    VectorizedDecodingUtils.decodeFastPfor semantics)."""
+    if plt == PLT_FASTPFOR:
+        from maplibre_tile_spec_spark.functions.fastpfor import fastpfor_decode
+
+        raw = fastpfor_decode(buf, offset, num_values, byte_length).astype(np.uint64)
+    else:
+        raw, _ = varint_decode(buf, num_values, offset)
     end = offset + byte_length
     if llt1 == LLT_RLE:
         runs = raw[:num_runs_meta].astype(np.int64)

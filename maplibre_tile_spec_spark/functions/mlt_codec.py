@@ -163,6 +163,7 @@ def _decode_int_stream_with_meta(buf: bytes, pos: int, meta: dict, signed: bool,
         num_runs_meta=meta.get("runs", 0),
         num_rle_values=meta.get("num_rle_values", 0),
         bits=bits,
+        plt=meta["plt"],
     )
 
 
@@ -814,8 +815,14 @@ def _decode_geometry_column(buf: bytes, pos: int, n_streams: int):
             else:
                 index_buffer = arr
         elif pst == K.PST_DATA:
-            if meta["logical_type"] == DT_MORTON:
+            if meta["plt"] == K.PLT_FASTPFOR:
+                from maplibre_tile_spec_spark.functions.fastpfor import fastpfor_decode
+
+                raw = fastpfor_decode(buf, pos, meta["num_values"], meta["byte_length"]).astype(np.uint64)
+                pos += meta["byte_length"]
+            else:
                 raw, pos = K.varint_decode(buf, meta["num_values"], pos)
+            if meta["logical_type"] == DT_MORTON:
                 codes = K.delta_decode(raw.view(np.int64))
                 mx, my = K.morton_decode(codes.astype(np.uint64), shift=meta["coordinate_shift"])
                 vertices = np.empty(mx.shape[0] * 2, dtype=np.int64)
@@ -823,7 +830,6 @@ def _decode_geometry_column(buf: bytes, pos: int, n_streams: int):
                 vertices[1::2] = my
             else:
                 # COMPONENTWISE_DELTA vertex buffer (plain or hilbert dict)
-                raw, pos = K.varint_decode(buf, meta["num_values"], pos)
                 vx, vy = K.vec2_zigzag_delta_decode(raw)
                 vertices = np.empty(vx.shape[0] * 2, dtype=np.int64)
                 vertices[0::2] = vx

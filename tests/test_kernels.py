@@ -241,3 +241,43 @@ class TestForcedOptions:
         assert K.encode_int_stream(v, False, option="delta").llt1 == K.LLT_DELTA
         r = K.encode_int_stream(v, False, option="delta_rle")
         assert (r.llt1, r.llt2) == (K.LLT_DELTA, K.LLT_RLE)
+
+
+class TestFastPfor:
+    """FastPFOR physical level (functions/fastpfor.py): the JavaFastPFOR
+    Composition(FastPFOR, VariableByte) wire format, so --enable-fastpfor
+    tiles decode (VectorizedDecodingUtils.decodeFastPfor:11-32)."""
+
+    @given(st.lists(st.integers(min_value=0, max_value=2**32 - 1), max_size=600))
+    @settings(max_examples=40, deadline=None)
+    def test_roundtrip_property(self, vals):
+        from maplibre_tile_spec_spark.functions import fastpfor as FP
+
+        v = np.array(vals, dtype=np.uint32)
+        enc = FP.fastpfor_encode(v)
+        dec = FP.fastpfor_decode(enc, 0, v.shape[0], len(enc))
+        assert np.array_equal(dec, v)
+
+    def test_multi_page_and_exceptions(self):
+        from maplibre_tile_spec_spark.functions import fastpfor as FP
+
+        rng = np.random.RandomState(3)
+        v = np.concatenate(
+            [rng.randint(0, 16, 69000), rng.randint(0, 2**31, 1500), [0, 1, 2**32 - 1]]
+        ).astype(np.uint32)
+        enc = FP.fastpfor_encode(v)
+        dec = FP.fastpfor_decode(enc, 0, v.shape[0], len(enc))
+        assert np.array_equal(dec, v)
+
+    def test_decode_int_stream_dispatches_on_plt(self):
+        from maplibre_tile_spec_spark.functions import fastpfor as FP
+
+        rng = np.random.RandomState(4)
+        v = rng.randint(0, 2**20, 400).astype(np.int64)
+        zz = K.zigzag_encode(v, bits=32).astype(np.uint32)
+        payload = FP.fastpfor_encode(zz)
+        out, _ = K.decode_int_stream(
+            payload, 0, v.shape[0], len(payload), K.LLT_NONE, K.LLT_NONE,
+            signed=True, plt=K.PLT_FASTPFOR,
+        )
+        assert np.array_equal(out, v)
