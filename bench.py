@@ -56,6 +56,8 @@ HEADLINE = [
     "sessionize_events",
     "mlt_tile_encode",
     "mlt_tile_encode_clipped",
+    "mlt_tile_roundtrip",
+    "media_features",
 ]
 
 

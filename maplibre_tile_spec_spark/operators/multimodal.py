@@ -41,17 +41,30 @@ def synthesize_media(spark, refs: DataFrame, seed: int = 42) -> DataFrame:
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # md5, not Python hash(): executor-process-independent
+            hs = np.array(
+                [int(hashlib.md5(f"{seed}:{ref}".encode()).hexdigest()[:8], 16) for ref in pdf["media_ref"]],
+                dtype=np.uint64,
+            )
+            # body: 64 hash-derived bytes per blob, one vectorized pass
+            # (counter-based splitmix64 — per-row RandomState init dominated
+            # the kernel before)
+            words = np.empty((hs.shape[0], 8), dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for j in range(8):
+                    x = hs * np.uint64(0x9E3779B97F4A7C15) + np.uint64(j + 1)
+                    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+                    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+                    words[:, j] = x ^ (x >> np.uint64(31))
+            bodies = words.view(np.uint8).reshape(hs.shape[0], 64)
             rows = []
-            for ref in pdf["media_ref"]:
-                # md5, not Python hash(): executor-process-independent
-                h = int(hashlib.md5(f"{seed}:{ref}".encode()).hexdigest()[:8], 16)
-                rng = np.random.RandomState(h)
+            for i, ref in enumerate(pdf["media_ref"]):
+                h = int(hs[i])
                 kind = ["image", "audio", "video"][h % 3]
                 w, hgt = int(16 + h % 64), int(16 + (h // 7) % 64)
                 frames = 1 if kind == "image" else int(2 + h % 30)
                 rate = 16000 if kind == "audio" else 0
-                body = rng.randint(0, 256, 64, dtype=np.uint8).tobytes()
-                payload = _MAGIC + struct.pack("<BHHHI", {"image": 0, "audio": 1, "video": 2}[kind], w, hgt, frames, rate) + body
+                payload = _MAGIC + struct.pack("<BHHHI", {"image": 0, "audio": 1, "video": 2}[kind], w, hgt, frames, rate) + bodies[i].tobytes()
                 rows.append((ref, kind, w, hgt, frames, rate, payload))
             yield pd.DataFrame(
                 rows,
@@ -92,23 +105,28 @@ def media_features(media: DataFrame) -> DataFrame:
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
-                kind, w, h, frames, rate, body = _parse_header(bytes(payload))
-                arr = np.frombuffer(body, dtype=np.uint8).astype(np.float64)
-                rows.append(
-                    (
-                        ref,
-                        kind,
-                        len(payload),
-                        float(arr.mean()),
-                        float(arr.std()),
-                        int(frames),
-                    )
-                )
+            payloads = [bytes(p) for p in pdf["payload"]]
+            headers = [_parse_header(p) for p in payloads]
+            lens = {len(p) for p in payloads}
+            if len(lens) == 1:
+                # uniform blobs: one stacked matrix, vectorized statistics
+                bodies = np.frombuffer(b"".join(h[5] for h in headers), dtype=np.uint8)
+                bodies = bodies.reshape(len(payloads), -1).astype(np.float64)
+                means = bodies.mean(axis=1)
+                stds = bodies.std(axis=1)
+            else:
+                arrs = [np.frombuffer(h[5], dtype=np.uint8).astype(np.float64) for h in headers]
+                means = np.array([a.mean() for a in arrs])
+                stds = np.array([a.std() for a in arrs])
             yield pd.DataFrame(
-                rows,
-                columns=["media_ref", "kind", "n_bytes", "mean_byte", "std_byte", "n_frames"],
+                {
+                    "media_ref": pdf["media_ref"].to_numpy(),
+                    "kind": [h[0] for h in headers],
+                    "n_bytes": [len(p) for p in payloads],
+                    "mean_byte": means,
+                    "std_byte": stds,
+                    "n_frames": [int(h[3]) for h in headers],
+                }
             )
 
     return media.mapInPandas(

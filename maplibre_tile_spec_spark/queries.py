@@ -1247,6 +1247,42 @@ FROM t
 """
 
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal path end-to-end: media refs → deterministic binary blobs
+    (16-byte header + body) → Arrow-batched header decode + feature kernel.
+    The oracle recomputes the header fields from the same md5 arithmetic;
+    body statistics (mean/std) stay pytest-verified (numpy RandomState is
+    not SQL-expressible)."""
+    from maplibre_tile_spec_spark.operators import multimodal as MM
+
+    ev = tables.load(spark, sf_dir, "events")
+    refs = ev.select(F.concat(F.lit("s3://bucket/obj-"), F.col("event_id").cast("string")).alias("media_ref"))
+    media = MM.synthesize_media(spark, refs, seed=42)
+    return MM.media_features(media).select(
+        "media_ref", "kind", F.col("n_bytes").cast("long"), F.col("n_frames").cast("long")
+    )
+
+
+def _sql_media_features() -> str:
+    # mirrors multimodal.synthesize_media: h = first 8 md5 hex nibbles of
+    # "<seed>:<ref>"; kind = h%3; frames = 1 (image) / 2+h%30; body = 64B
+    return """
+WITH refs AS (
+  SELECT 's3://bucket/obj-' || CAST(event_id AS VARCHAR) AS media_ref FROM events
+),
+h AS (
+  SELECT DISTINCT media_ref,
+         CAST(concat('0x', substring(md5('42:' || media_ref), 1, 8)) AS BIGINT) AS hv
+  FROM refs
+)
+SELECT media_ref,
+       CASE hv % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(79 AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN hv % 3 = 0 THEN 1 ELSE 2 + hv % 30 END AS BIGINT) AS n_frames
+FROM h
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1282,6 +1318,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mlt_tile_encode": q_mlt_tile_encode,
     "mlt_tile_encode_clipped": q_mlt_tile_encode_clipped,
     "mlt_tile_roundtrip": q_mlt_tile_roundtrip,
+    "media_features": q_media_features,
 }
 
 ORACLES: dict[str, str] = {
@@ -1315,4 +1352,5 @@ ORACLES: dict[str, str] = {
     "mlt_tile_encode": _sql_mlt_tile_encode(),
     "mlt_tile_encode_clipped": _sql_mlt_tile_encode_clipped(),
     "mlt_tile_roundtrip": _sql_mlt_tile_roundtrip(),
+    "media_features": _sql_media_features(),
 }
