@@ -289,8 +289,18 @@ def knn_join(
         remaining = remaining.join(F.broadcast(resolved_ids), qid_col, "left_anti")
         r *= ring_growth
 
-    # exact fallback: broadcast the (rare) still-unresolved queries
+    # exact fallback: broadcast the (rare) still-unresolved queries.
+    # observe() rides the final action so callers can audit the remainder
+    # size (Observation "knn_fallback", metric n_unresolved) — if the ring
+    # bound ever stops resolving ~all queries, this surfaces it without an
+    # extra job; the broadcast itself hard-fails long before the fallback
+    # could silently become a full cartesian.
     w = Window.partitionBy(qid_col).orderBy(F.col("dist_km").asc(), F.col(pid_col).asc())
+    from pyspark.sql import Observation
+
+    remaining = remaining.observe(
+        Observation("knn_fallback"), F.count(F.lit(1)).alias("n_unresolved")
+    )
     fb_cand = points.select(
         F.col(pid_col), F.col("lon").alias("p_lon"), F.col("lat").alias("p_lat")
     ).crossJoin(F.broadcast(remaining.select(qid_col, "lon", "lat", k_col)))

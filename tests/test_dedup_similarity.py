@@ -137,6 +137,32 @@ class TestSimilarity:
             )
             assert [cid for _, cid in sorted(got[qid])] == [ids[i] for i in order[:3]]
 
+    def test_rademacher_arrow_equals_catalyst(self, spark, emb):
+        # the Arrow integer-matmul signature must be bit-identical to the
+        # Catalyst expression twin (both are exact integer arithmetic)
+        planes = similarity.rademacher_planes(64, 16, 7)
+        arrow = {
+            r.id: r.sig
+            for r in similarity.rademacher_signatures_arrow(emb, planes, "vec_id").collect()
+        }
+        catalyst = {
+            r.vec_id: r.sig
+            for r in emb.select(
+                "vec_id", similarity.rademacher_signature(F.col("embedding"), planes).alias("sig")
+            ).collect()
+        }
+        assert arrow == catalyst
+
+    def test_ann_catalyst_recall(self, emb):
+        q = emb.filter(F.col("vec_id") < 30).select(F.col("vec_id").alias("qid"), "embedding")
+        c = emb.select(F.col("vec_id").alias("cid"), "embedding")
+        exact = {(r.qid, r.cid) for r in similarity.cosine_topk_bruteforce(q, c, k=3).collect()}
+        approx = {
+            (r.qid, r.cid) for r in similarity.ann_lsh_topk_catalyst(q, c, dim=64, k=3).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.9, f"ANN (rademacher) recall too low: {recall}"
+
     def test_ann_recall(self, emb):
         q = emb.filter(F.col("vec_id") < 30).select(F.col("vec_id").alias("qid"), "embedding")
         c = emb.select(F.col("vec_id").alias("cid"), "embedding")
