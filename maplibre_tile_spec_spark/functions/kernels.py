@@ -162,33 +162,66 @@ def num_runs(values: np.ndarray) -> int:
 
 def byte_rle_encode(data: np.ndarray | bytes) -> bytes:
     """ORC byte-RLE: control 0x00-0x7F = run of (control+3) of next byte;
-    control 0x80-0xFF = (256-control) literal bytes (ByteRleEncoder.java)."""
+    control 0x80-0xFF = (256-control) literal bytes.
+
+    Byte-exact port of ByteRleEncoder.java's streaming state machine — the
+    boundary behavior matters for parity: a repeat straddling a flushed
+    128-literal group is NOT converted to a run (tail-run state resets at
+    every flush), and a literal group converts to a run only when exactly
+    MIN_REPEAT (3) equal bytes accumulate at its tail."""
     b = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray)) else data.astype(np.uint8)
-    runs, vals = rle_encode(b)
+    # fast path between "interesting" positions: process per equal-run, but
+    # replicate the state machine's flush/reset rules exactly
     out = bytearray()
     lit = bytearray()
+    state = {"repeat": False, "tail": 0}
 
-    def flush_literals():
-        i = 0
-        while i < len(lit):
-            chunk = lit[i : i + 128]
-            out.append(256 - len(chunk))
-            out.extend(chunk)
-            i += 128
-
-    for r, v in zip(runs.tolist(), vals.tolist()):
-        if r >= 3:
-            flush_literals()
+    def flush():
+        if lit:
+            if state["repeat"]:
+                out.append(len(lit) - 3)
+                out.append(lit[0])
+            else:
+                out.append(256 - len(lit))
+                out.extend(lit)
+            state["repeat"] = False
+            state["tail"] = 0
             lit.clear()
-            while r >= 3:
-                take = min(r, 130)
-                out.append(take - 3)
-                out.append(v)
-                r -= take
-            lit.extend([v] * r)
+
+    for v in b.tolist():
+        if not lit:
+            lit.append(v)
+            state["tail"] = 1
+        elif state["repeat"]:
+            if v == lit[0]:
+                lit.append(v)
+                if len(lit) == 130:  # MAX_REPEAT_SIZE
+                    flush()
+            else:
+                flush()
+                lit.append(v)
+                state["tail"] = 1
         else:
-            lit.extend([v] * r)
-    flush_literals()
+            if v == lit[-1]:
+                state["tail"] += 1
+            else:
+                state["tail"] = 1
+            if state["tail"] == 3:  # MIN_REPEAT_SIZE
+                if len(lit) + 1 == 3:
+                    state["repeat"] = True
+                    lit.append(v)
+                else:
+                    del lit[-2:]
+                    tail_backup = state["tail"]
+                    flush()
+                    lit.extend([v, v, v])
+                    state["repeat"] = True
+                    state["tail"] = tail_backup
+            else:
+                lit.append(v)
+                if len(lit) == 128:  # MAX_LITERAL_SIZE
+                    flush()
+    flush()
     return bytes(out)
 
 
@@ -272,6 +305,16 @@ def encode_int_stream(
     delta_enc = varint_encode(as_unsigned(deltas, True))
 
     candidates: list[bytes | None] = [plain, delta_enc, None, None]
+    if bits == 64:
+        # the reference's LONG path selects only plain vs delta — across all
+        # 134 fixture tiles no 64-bit stream is RLE/delta-RLE encoded (e.g.
+        # 2-value constant u64 id streams are DELTA, where the 32-bit path's
+        # const-forcing would emit RLE); first-min tie-break prefers delta
+        # only when strictly smaller
+        idx64 = 0 if len(plain) <= len(delta_enc) else 1
+        return IntStreamEncoding(
+            candidates[idx64], LLT_DELTA if idx64 else LLT_NONE, LLT_NONE, n, 0, 0
+        )
     runs_v = num_runs(v)
     runs_d = num_runs(deltas)
     rle_meta = (0, 0)

@@ -113,6 +113,7 @@ class LayerData:
     props: list[PropColumn] = field(default_factory=list)
     structs: list[StructColumn] = field(default_factory=list)
     tessellate: bool = False  # emit the 7-stream pretessellated layout
+    use_fsst: bool = False  # consider FSST candidates for string/struct columns
 
 
 # ---------------------------------------------------------------------------
@@ -178,10 +179,16 @@ def _boolean_stream(bits: np.ndarray, pst: int) -> bytes:
 # ---------------------------------------------------------------------------
 
 
-def encode_geometry_column(g: GeometryColumn, use_morton: bool = True) -> tuple[int, bytes]:
+def encode_geometry_column(
+    g: GeometryColumn, use_morton: bool = True, pretess_selection: bool = False
+) -> tuple[int, bytes]:
     """→ (num_streams, stream bytes). Candidate selection among plain /
     Hilbert-dict / Morton-dict by encoded payload size, reference tie-breaks
-    (GeometryEncoder.java:744-816)."""
+    (GeometryEncoder.java:744-816). ``pretess_selection`` reproduces the
+    pre-tessellation path's rule (GeometryEncoder.java:345-361, the one the
+    fixture corpus was generated through, always with morton disabled):
+    plain only if it beats BOTH the dict and the morton candidate sizes,
+    else dict — morton itself is never emitted."""
     xs = g.vertices[0::2].astype(np.int64)
     ys = g.vertices[1::2].astype(np.int64)
     out = _int_stream(g.types.astype(np.int64), False, K.PST_LENGTH, 0)
@@ -198,11 +205,16 @@ def encode_geometry_column(g: GeometryColumn, use_morton: bool = True) -> tuple[
     max_v = int(max(xs.max(), ys.max()))
     num_bits, shift = K.sfc_bounds(min_v, max_v)
 
-    # plain candidate — compared size must equal the *emitted* stream size
-    # (raw varint over componentwise zigzag-delta), not an AUTO-selected
-    # candidate we never write, or the argmin can pick a larger layout
+    # plain candidate. NOTE (bug-compatible by design): the reference
+    # compares the AUTO-selected encodeInt candidate sizes
+    # (GeometryEncoder.java:652-672, 744-752) but then EMITS the plain and
+    # dict vertex streams as raw varint(zigzag-delta) — so the compared
+    # size can differ from the emitted size and the argmin can pick a
+    # layout larger than an alternative. Reproducing that exact comparison
+    # is required for byte parity (omt fixtures flip Hilbert↔Morton on it).
     zz = K.vec2_zigzag_delta_encode(xs, ys)
-    plain_size = len(K.varint_encode(zz))
+    plain_enc = K.encode_int_stream(zz.astype(np.int64), signed=False)
+    plain_size = len(plain_enc.payload)
 
     # hilbert dictionary candidate
     hil = K.hilbert_encode(xs, ys, order=num_bits, shift=shift)
@@ -211,8 +223,9 @@ def encode_geometry_column(g: GeometryColumn, use_morton: bool = True) -> tuple[
     dict_ys = ys[first_idx]
     offsets = np.searchsorted(hil_sorted, hil)
     zz_dict = K.vec2_zigzag_delta_encode(dict_xs, dict_ys)
+    dict_enc = K.encode_int_stream(zz_dict.astype(np.int64), signed=False)
     off_enc = K.encode_int_stream(offsets.astype(np.int64), signed=False)
-    dict_size = len(K.varint_encode(zz_dict)) + len(off_enc.payload)
+    dict_size = len(dict_enc.payload) + len(off_enc.payload)
 
     # morton dictionary candidate
     mort = K.morton_encode(xs, ys, shift=shift).astype(np.int64)
@@ -223,13 +236,19 @@ def encode_geometry_column(g: GeometryColumn, use_morton: bool = True) -> tuple[
     m_off_enc = K.encode_int_stream(m_offsets.astype(np.int64), signed=False)
     morton_size = len(m_dict_payload) + len(m_off_enc.payload)
 
-    if plain_size <= dict_size and (not use_morton or plain_size <= morton_size):
+    if pretess_selection:
+        pick_plain = plain_size <= dict_size and plain_size <= morton_size
+        pick_dict = not pick_plain
+    else:
+        pick_plain = plain_size <= dict_size and (not use_morton or plain_size <= morton_size)
+        pick_dict = dict_size < plain_size and (not use_morton or dict_size <= morton_size)
+    if pick_plain:
         meta = K.pack_stream_metadata(
             K.PST_DATA, DT_VERTEX, K.LLT_COMPONENTWISE_DELTA, K.LLT_NONE, K.PLT_VARINT,
             zz.shape[0], len(K.varint_encode(zz)),
         )
         return num_streams + 1, out + meta + K.varint_encode(zz)
-    if dict_size < plain_size and (not use_morton or dict_size <= morton_size):
+    if pick_dict:
         off_extra = (off_enc.num_runs, off_enc.num_rle_values) if off_enc.num_runs else ()
         off_meta = K.pack_stream_metadata(
             K.PST_OFFSET, OT_VERTEX, off_enc.llt1, off_enc.llt2, K.PLT_VARINT,
@@ -385,7 +404,8 @@ def _encode_string_streams(values: list[str], use_fsst: bool = False) -> tuple[b
     plain = _int_stream(lengths, False, K.PST_LENGTH, LT_VAR_BINARY)
     plain += K.pack_stream_metadata(K.PST_DATA, DT_NONE, K.LLT_NONE, K.LLT_NONE, K.PLT_NONE, len(values), len(data))
     plain += data
-    # dictionary: LENGTH(DICTIONARY) + DATA(SINGLE)=dict bytes + OFFSET(STRING)=indices
+    # dictionary layout per StringEncoder.encodeDictionary: LENGTH(DICT),
+    # OFFSET(STRING), DATA(SINGLE) — offsets BEFORE the dictionary bytes
     seen: dict[bytes, int] = {}
     dict_list: list[bytes] = []
     idx = np.empty(len(utf8), dtype=np.int64)
@@ -398,11 +418,11 @@ def _encode_string_streams(values: list[str], use_fsst: bool = False) -> tuple[b
         idx[i] = j
     dlengths = np.array([len(b) for b in dict_list], dtype=np.int64)
     ddata = b"".join(dict_list)
+    offsets_stream = _int_stream(idx, False, K.PST_OFFSET, OT_STRING)
     dic = _int_stream(dlengths, False, K.PST_LENGTH, LT_DICTIONARY)
+    dic += offsets_stream
     dic += K.pack_stream_metadata(K.PST_DATA, DT_SINGLE, K.LLT_NONE, K.LLT_NONE, K.PLT_NONE, len(dict_list), len(ddata))
     dic += ddata
-    offsets_stream = _int_stream(idx, False, K.PST_OFFSET, OT_STRING)
-    dic += offsets_stream
 
     candidates = [(len(plain), plain, 2), (len(dic), dic, 3)]
     if use_fsst and ddata:
@@ -426,9 +446,11 @@ def _encode_string_streams(values: list[str], use_fsst: bool = False) -> tuple[b
 # ---------------------------------------------------------------------------
 
 
-def encode_struct_column(struct: StructColumn) -> bytes:
-    """Shared-dictionary streams (StringEncoder.encodeSharedDictionary,
-    no-FSST path): LENGTH(DICTIONARY) + DATA(SHARED) then per child
+def encode_struct_column(struct: StructColumn, use_fsst: bool = False) -> bytes:
+    """Shared-dictionary streams (StringEncoder.encodeSharedDictionary):
+    shared dictionary (plain LENGTH(DICTIONARY)+DATA(SHARED), or — when
+    strictly smaller and FSST is enabled — the 4-stream FSST variant
+    SYMLENGTH+DATA(FSST)+LENGTH(DICTIONARY)+DATA(SHARED)), then per child
     varint(2) + present + OFFSET(STRING)."""
     dictionary: list[bytes] = []
     seen: dict[bytes, int] = {}
@@ -451,13 +473,26 @@ def encode_struct_column(struct: StructColumn) -> bytes:
         offsets_per_child.append(np.array(offs, dtype=np.int64))
     if not dictionary:
         return _varint1(0)
-    n_streams = 3 + 2 * len(struct.children)
-    out = _varint1(n_streams)
     dlengths = np.array([len(b) for b in dictionary], dtype=np.int64)
     ddata = b"".join(dictionary)
-    out += _int_stream(dlengths, False, K.PST_LENGTH, LT_DICTIONARY)
-    out += K.pack_stream_metadata(K.PST_DATA, DT_SHARED, K.LLT_NONE, K.LLT_NONE, K.PLT_NONE, len(dictionary), len(ddata))
-    out += ddata
+    plain_dict = _int_stream(dlengths, False, K.PST_LENGTH, LT_DICTIONARY)
+    plain_dict += K.pack_stream_metadata(K.PST_DATA, DT_SHARED, K.LLT_NONE, K.LLT_NONE, K.PLT_NONE, len(dictionary), len(ddata))
+    plain_dict += ddata
+    shared = plain_dict
+    n_dict_streams = 3
+    if use_fsst:
+        table, sym_lens, compressed = fsst_encode(ddata)
+        fs = _int_stream(sym_lens, False, K.PST_LENGTH, LT_SYMBOL)
+        fs += K.pack_stream_metadata(K.PST_DATA, DT_FSST, K.LLT_NONE, K.LLT_NONE, K.PLT_NONE, len(sym_lens), len(table))
+        fs += table
+        fs += _int_stream(dlengths, False, K.PST_LENGTH, LT_DICTIONARY)
+        fs += K.pack_stream_metadata(K.PST_DATA, DT_SHARED, K.LLT_NONE, K.LLT_NONE, K.PLT_NONE, len(dictionary), len(compressed))
+        fs += compressed
+        if len(fs) < len(plain_dict):
+            shared = fs
+            n_dict_streams = 5
+    out = _varint1(n_dict_streams + 2 * len(struct.children))
+    out += shared
     for present, offs in zip(presents_per_child, offsets_per_child):
         if offs.shape[0] == 0:
             out += _varint1(0)
@@ -492,7 +527,7 @@ def encode_layer(layer: LayerData) -> bytes:
         meta += _varint1(len(struct_col.children))
         for suffix, _values in struct_col.children:
             meta += _varint1(_SCALAR_CODES["string"] + 1) + _put_string(suffix)
-        body += encode_struct_column(struct_col)
+        body += encode_struct_column(struct_col, use_fsst=layer.use_fsst)
     payload = meta + body
     tag = _varint1(TAG_EMBEDDED)
     return K.varint_encode(np.array([len(payload) + len(tag)], dtype=np.uint64)) + tag + payload
@@ -547,6 +582,111 @@ def decode_tile(
             out.append(_decode_layer(buf, pos, body_end, columns=columns))
         pos = body_end
     return out
+
+
+def reencode_tile(buf: bytes, use_fsst: bool = True) -> bytes:
+    """Decode a tile to the value model and re-encode it column-by-column in
+    the ORIGINAL column order, re-running every encoder candidate selection
+    from the data alone. When our selection rules and stream encoders match
+    the reference exactly, the output equals the input byte-for-byte — the
+    strongest whole-tile parity check the fixtures allow without the MVT
+    conversion pipeline (column mapping, type coercion)."""
+    out = b""
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        v, pos = K.varint_decode(buf, 1, pos)
+        length = int(v[0])
+        start = pos
+        v, pos = K.varint_decode(buf, 1, pos)
+        tag = int(v[0])
+        body_end = start + length
+        if tag != TAG_EMBEDDED:
+            out += bytes(buf[start - 1 : body_end])  # unknown frame: copy
+            pos = body_end
+            continue
+        out += _reencode_layer(buf, pos, body_end, use_fsst=use_fsst)
+        pos = body_end
+    return out
+
+
+def _reencode_layer(buf: bytes, pos: int, end: int, use_fsst: bool) -> bytes:
+    name, pos = _get_string(buf, pos)
+    v, pos = K.varint_decode(buf, 2, pos)
+    extent, n_cols = int(v[0]), int(v[1])
+    col_meta = []
+    for _ in range(n_cols):
+        v, pos = K.varint_decode(buf, 1, pos)
+        tc = int(v[0])
+        cname = None
+        children = []
+        if tc >= 10:
+            cname, pos = _get_string(buf, pos)
+        if tc == TC_STRUCT:
+            v, pos = K.varint_decode(buf, 1, pos)
+            for _ in range(int(v[0])):
+                cv, pos = K.varint_decode(buf, 1, pos)
+                ctc = int(cv[0])
+                ch_name = None
+                if ctc >= 10:
+                    ch_name, pos = _get_string(buf, pos)
+                children.append((ctc, ch_name))
+        col_meta.append((tc, cname, children))
+
+    meta = _put_string(name) + _varint1(extent) + _varint1(n_cols)
+    body = b""
+    for tc, cname, children in col_meta:
+        if tc in (TC_ID_U32, TC_ID_U32_NULL, TC_ID_U64, TC_ID_U64_NULL):
+            meta += _varint1(tc)
+            present = None
+            if tc & 1:
+                present, pos = _decode_boolean_stream(buf, pos)
+            m, pos = K.unpack_stream_metadata(buf, pos)
+            bits = 64 if tc >= TC_ID_U64 else 32
+            ids, pos = _decode_int_stream_with_meta(buf, pos, m, signed=False, bits=bits)
+            if present is not None:
+                body += _boolean_stream(present, K.PST_PRESENT)
+            body += _int_stream(np.asarray(ids, dtype=np.int64), False, K.PST_DATA, DT_NONE, bits=bits)
+        elif tc == TC_GEOMETRY:
+            meta += _varint1(TC_GEOMETRY)
+            v, pos = K.varint_decode(buf, 1, pos)
+            g, triangles, _index_buffer, pos = _decode_geometry_column(buf, pos, int(v[0]))
+            if triangles is not None:
+                n_geo, geo = encode_geometry_column_pretessellated(g)
+            else:
+                # fixtures are generated through the pre-tessellation path
+                # with morton disabled (MltConverter.java:583)
+                n_geo, geo = encode_geometry_column(g, use_morton=False, pretess_selection=True)
+            body += _varint1(n_geo) + geo
+        elif tc == TC_STRUCT:
+            meta += _varint1(TC_STRUCT) + _put_string(cname)
+            meta += _varint1(len(children))
+            for ctc, ch in children:
+                meta += _varint1(ctc) + _put_string(ch if ch is not None else "")
+            props_struct, pos = _decode_shared_dict_struct(buf, pos, cname, children)
+            struct = StructColumn(
+                cname,
+                [(ch if ch is not None else "", props_struct[(cname or "") + (ch or "")]) for _ctc, ch in children],
+            )
+            body += encode_struct_column(struct, use_fsst=use_fsst)
+        else:
+            scalar = _CODE_TO_SCALAR[tc & ~1]
+            nullable = bool(tc & 1)
+            meta += _varint1(tc) + _put_string(cname)
+            if scalar == "string":
+                v, pos = K.varint_decode(buf, 1, pos)
+                n_streams = int(v[0])
+                if n_streams == 0:
+                    body += _varint1(0)
+                    continue
+                values, pos = _decode_string_column(buf, pos, n_streams, nullable)
+                body += encode_prop_column(PropColumn(cname, "string", values, nullable, use_fsst=use_fsst))
+            else:
+                values, pos = _decode_scalar_column(buf, pos, scalar, nullable)
+                body += encode_prop_column(PropColumn(cname, scalar, values, nullable))
+    payload = meta + body
+    tag = _varint1(TAG_EMBEDDED)
+    return K.varint_encode(np.array([len(payload) + len(tag)], dtype=np.uint64)) + tag + payload
 
 
 def _skip_scalar_column(buf: bytes, pos: int, scalar: str, nullable: bool) -> int:

@@ -319,6 +319,31 @@ def test_encode_from_source_mvt_byte_exact(name):
 
 
 @requires_fixtures
+def test_reencode_tile_byte_exact_sample():
+    """Whole-tile encoder parity: decode every column to values and
+    re-encode in original column order — bytes must equal the fixture.
+    This re-runs every candidate selection (geometry plain/dict, string
+    plain/dict/fsst-dict, shared-dict fsst, integer AUTO, boolean RLE,
+    earcut) from the data alone. The full 134-tile corpus passes (231 s);
+    the suite keeps a cross-family sample for runtime."""
+    sample = [
+        "simple/polygon-boolean.mlt",
+        "omt/2_2_2.mlt",
+        "omt/6_32_41.mlt",  # 2-value constant u64 id stream (long-path rule)
+        "omt/12_2130_2733.mlt",  # boolean-RLE flush-boundary run
+        "bing/4-12-6.mlt",
+        "amazon/11_1037_704.mlt",
+        "amazon_here/4_8_5.mlt",
+    ]
+    for rel in sample:
+        path = f"{EXP}/{rel}"
+        if not os.path.exists(path):
+            pytest.skip(f"{rel} absent")
+        buf = open(path, "rb").read()
+        assert C.reencode_tile(buf) == buf, rel
+
+
+@requires_fixtures
 def test_tessellation_matches_fixture_triangle_streams():
     """Earcut parity sample: recompute triangle index buffers for
     tessellated fixture layers and compare to the stored streams (the full
