@@ -89,8 +89,27 @@ def extract_media_refs(docs: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _try_pil_decode(payload: bytes):
+    """Capability gate: decode real image formats when PIL is available
+    (it is not in this container — the gate keeps production behavior a
+    pure library swap, nothing else changes)."""
+    try:
+        import io
+
+        from PIL import Image  # noqa: F401
+    except ImportError:
+        return None
+    img = Image.open(io.BytesIO(payload))
+    img.load()
+    body = img.tobytes()
+    return "image", img.width, img.height, 1, 0, body
+
+
 def _parse_header(payload: bytes) -> tuple[str, int, int, int, int, bytes]:
     if payload[:4] != _MAGIC:
+        real = _try_pil_decode(payload)
+        if real is not None:
+            return real
         # >>> STUB: real formats (JPEG/PNG/WAV/MP4) need PIL / libav,
         # which are not installed in this container.
         raise NotImplementedError("real media decoding requires image/audio libs")
