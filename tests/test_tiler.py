@@ -185,3 +185,17 @@ class TestPyramidRollup:
         for la in C.decode_tile(bytes(row.tile)):
             v = la.geometry.vertices
             assert v.min() >= 0 and v.max() < 4096
+
+
+class TestTranscode:
+    def test_transcode_own_tiles_byte_exact(self, spark):
+        """Our own tiles must survive the distributed decode→re-encode pass
+        byte-exactly (the same path is byte-exact on all 134 reference
+        fixture tiles)."""
+        docs = synth.synthesize_documents(spark, 300, seed=42)
+        feats = FE.extract_features(docs)
+        tiles = tiler.encode_tiles(feats, zoom=6)
+        out = tiler.transcode_tiles(tiles).collect()
+        assert len(out) > 0
+        assert all(r.byte_exact for r in out)
+        assert all(r.bytes_out == r.bytes_in for r in out)
