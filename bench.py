@@ -171,8 +171,8 @@ def run_bench(cpus: int, sf_dir: str, scaling_only: bool = False) -> dict:
     }
 
 
-SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "400000"))
-SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))  # N vs 4N cores
+SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "1000000"))
+SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))  # N vs 4N cores
 SCALE_RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3"))
 
 
