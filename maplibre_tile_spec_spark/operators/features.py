@@ -71,14 +71,27 @@ def _parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         y1[is_point] = py
 
     rest_idx = np.flatnonzero(~is_point)
-    for i in rest_idx:
-        _, coords, _ = W.parse_wkt(wkts.iat[i])
-        rlon[i] = coords[0, 0]
-        rlat[i] = coords[0, 1]
-        x0[i] = coords[:, 0].min()
-        y0[i] = coords[:, 1].min()
-        x1[i] = coords[:, 0].max()
-        y1[i] = coords[:, 1].max()
+    if rest_idx.shape[0]:
+        # the summary needs only (first vertex, bbox): extract every numeric
+        # token in one pandas pass and reduce per row with reduceat — no
+        # per-feature WKT structure walk (that parse stays in the tile
+        # encoder where topology matters). Coordinate counts are always
+        # even, so x/y are the global even/odd positions.
+        import itertools
+
+        flo = wkts.iloc[rest_idx].str.findall(r"-?[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?")
+        counts = flo.map(len).to_numpy()
+        total = int(counts.sum())
+        allf = np.fromiter(itertools.chain.from_iterable(flo), dtype=np.float64, count=total)
+        xs = allf[0::2]
+        ys = allf[1::2]
+        voffs = np.concatenate(([0], np.cumsum(counts // 2)[:-1]))
+        rlon[rest_idx] = xs[voffs]
+        rlat[rest_idx] = ys[voffs]
+        x0[rest_idx] = np.minimum.reduceat(xs, voffs)
+        y0[rest_idx] = np.minimum.reduceat(ys, voffs)
+        x1[rest_idx] = np.maximum.reduceat(xs, voffs)
+        y1[rest_idx] = np.maximum.reduceat(ys, voffs)
 
     return pd.DataFrame(
         {
