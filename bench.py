@@ -119,6 +119,7 @@ def run_docs_pipeline(spark, n_docs: int, cpus: int = CPUS) -> dict:
     n_pip = SP.pip_join(pts, polys).count()
     elapsed = time.perf_counter() - t0
     feats.unpersist()
+    polys.unpersist()
     return {
         "elapsed_sec": round(elapsed, 3),
         "n_docs": n_docs,

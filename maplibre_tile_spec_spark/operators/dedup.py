@@ -103,6 +103,21 @@ def minhash_signatures(
     return base.filter(F.col("_n") >= shingle_size).select("id", mh.alias("mhs"))
 
 
+def _scoped_materialize(result: DataFrame, *intermediates: DataFrame) -> DataFrame:
+    """Materialize ``result`` once (its single action is served by the
+    persisted ``intermediates``), then release the intermediates before
+    returning. The returned DataFrame stays persisted — bounded by OUTPUT
+    size, with lineage intact, so evicted/lost blocks recompute from source
+    — and nothing input-sized is pinned across the caller's session (the
+    r2 storage-leak finding). Callers may ``unpersist()`` the result when
+    done; the bench clears the cache between queries."""
+    out = result.persist()
+    out.count()
+    for df in intermediates:
+        df.unpersist()
+    return out
+
+
 def lsh_candidate_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -133,11 +148,66 @@ def lsh_candidate_pairs(
     bdf = sigs.select("id", F.posexplode(bands).alias("band", "sig"))
     a = bdf.alias("a")
     b = bdf.alias("b")
-    return (
+    pairs = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")) & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
         .distinct()
     )
+    return _scoped_materialize(pairs, sigs)
+
+
+def _ngram_jaccard_build(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_size: int,
+    threshold: float,
+) -> tuple[DataFrame, DataFrame]:
+    """Lazy plan for ngram_jaccard_pairs → (result, persisted shingle sets).
+    Split out so plan-shape tests can inspect the un-materialized query."""
+    sh, ntok = _shingles(text_col, shingle_size)
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism * 2)
+    sets = (
+        docs.select(F.col(id_col).alias("id"), sh.alias("shingles"), ntok.alias("_n"))
+        .filter(F.col("_n") >= shingle_size)
+        .select("id", F.size("shingles").alias("n_sh"), "shingles")
+        .persist()
+    )
+    # 8-byte hashed shingle keys: cheaper shuffles than the raw strings, and
+    # any hash collision only ADDS candidates (verified exactly below), so
+    # correctness is unaffected; (df, hash) is still a global total order
+    base = sets.select("id", "n_sh", F.explode("shingles").alias("shingle")).select(
+        "id", "n_sh", F.xxhash64("shingle").alias("sh")
+    )
+    # document frequency via groupBy (map-side partial agg) + join back.
+    # NOT a Window.partitionBy("sh"): a window materializes each shingle's
+    # full posting list in ONE task, so a boilerplate shingle shared by 10^6
+    # docs at 100 TB funnels 10^6 rows through a single window task. The
+    # partial aggregate collapses those rows map-side, and the join back is
+    # a plain equi-join on sh where AQE's skew split applies.
+    dfreq = base.groupBy("sh").agg(F.count("*").alias("df"))
+    w_id = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("sh").asc())
+    prefix_len = F.col("n_sh") - F.floor(F.lit(threshold) * F.col("n_sh")).cast("long") + 1
+    prefixes = (
+        base.join(dfreq, "sh")
+        .withColumn("rn", F.row_number().over(w_id))
+        .filter(F.col("rn") <= prefix_len)
+        .select("id", "sh")
+    )
+    a = prefixes.alias("a")
+    b = prefixes.alias("b")
+    cand = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sets.select(F.col("id").alias("doc_a"), F.col("n_sh").alias("na"), F.col("shingles").alias("sha"))
+    sb = sets.select(F.col("id").alias("doc_b"), F.col("n_sh").alias("nb"), F.col("shingles").alias("shb"))
+    verified = cand.join(sa, "doc_a").join(sb, "doc_b")
+    n_inter = F.size(F.array_intersect("sha", "shb"))
+    jac = n_inter / (F.col("na") + F.col("nb") - n_inter)
+    out = verified.select("doc_a", "doc_b", jac.alias("jaccard")).filter(F.col("jaccard") >= threshold)
+    return out, sets
 
 
 def ngram_jaccard_pairs(
@@ -159,43 +229,14 @@ def ngram_jaccard_pairs(
     ordering pushes boilerplate shingles out of prefixes, so one shingle
     shared by 10⁶ docs no longer creates a 10¹² candidate blow-up. We use
     the (longer) ⌊t·n⌋-based prefix to stay safe against fp rounding of
-    t·n. Candidates are verified exactly on the full shingle arrays."""
-    sh, ntok = _shingles(text_col, shingle_size)
-    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism * 2)
-    sets = (
-        docs.select(F.col(id_col).alias("id"), sh.alias("shingles"), ntok.alias("_n"))
-        .filter(F.col("_n") >= shingle_size)
-        .select("id", F.size("shingles").alias("n_sh"), "shingles")
-        .persist()
-    )
-    # 8-byte hashed shingle keys: cheaper shuffles than the raw strings, and
-    # any hash collision only ADDS candidates (verified exactly below), so
-    # correctness is unaffected; (df, hash) is still a global total order
-    base = sets.select("id", "n_sh", F.explode("shingles").alias("shingle")).select(
-        "id", "n_sh", F.xxhash64("shingle").alias("sh")
-    )
-    w_df = Window.partitionBy("sh")  # df via window: one shuffle, no join
-    w_id = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("sh").asc())
-    prefix_len = F.col("n_sh") - F.floor(F.lit(threshold) * F.col("n_sh")).cast("long") + 1
-    prefixes = (
-        base.withColumn("df", F.count("*").over(w_df))
-        .withColumn("rn", F.row_number().over(w_id))
-        .filter(F.col("rn") <= prefix_len)
-        .select("id", "sh")
-    )
-    a = prefixes.alias("a")
-    b = prefixes.alias("b")
-    cand = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
-        .distinct()
-    )
-    sa = sets.select(F.col("id").alias("doc_a"), F.col("n_sh").alias("na"), F.col("shingles").alias("sha"))
-    sb = sets.select(F.col("id").alias("doc_b"), F.col("n_sh").alias("nb"), F.col("shingles").alias("shb"))
-    verified = cand.join(sa, "doc_a").join(sb, "doc_b")
-    n_inter = F.size(F.array_intersect("sha", "shb"))
-    jac = n_inter / (F.col("na") + F.col("nb") - n_inter)
-    return verified.select("doc_a", "doc_b", jac.alias("jaccard")).filter(F.col("jaccard") >= threshold)
+    t·n. Candidates are verified exactly on the full shingle arrays.
+
+    Document frequency comes from a partial-aggregated groupBy + join back
+    (never a Window over the shingle key — see the inline comment), and the
+    returned DataFrame is eagerly materialized with the input-sized
+    intermediates released (``_scoped_materialize``)."""
+    out, sets = _ngram_jaccard_build(docs, text_col, id_col, shingle_size, threshold)
+    return _scoped_materialize(out, sets)
 
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 60) -> DataFrame:
@@ -247,9 +288,10 @@ def simhash_near_pairs(
     a = bdf.alias("a")
     b = bdf.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
+    pairs = (
         a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.key") == F.col("b.key")) & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"), ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+    return _scoped_materialize(pairs, sh)

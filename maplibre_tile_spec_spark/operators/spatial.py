@@ -225,7 +225,9 @@ def _knn_ring_pass(
         G.haversine_km(F.col("lon"), F.col("lat"), F.col("p_lon"), F.col("p_lat")).alias("dist_km"),
     )
     w = Window.partitionBy(qid_col).orderBy(F.col("dist_km").asc(), F.col(pid_col).asc())
-    # persisted: referenced by the resolved branch and the resolution check
+    # persisted: referenced by the resolved branch and the resolution check.
+    # knn_join releases the handle after materializing its final result, so
+    # nothing input-sized stays pinned across the caller's session.
     topk = (
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= F.col(k_col))
@@ -249,7 +251,7 @@ def _knn_ring_pass(
         )
     ).select(qid_col)
     resolved = topk.join(F.broadcast(resolved_ids), qid_col, "left_semi")
-    return resolved, resolved_ids
+    return resolved, resolved_ids, topk
 
 
 def knn_join(
@@ -282,10 +284,12 @@ def knn_join(
     )
     remaining = queries
     resolved_parts: list[DataFrame] = []
+    cached_passes: list[DataFrame] = []
     r = ring
     for _ in range(expansion_passes):
-        resolved, resolved_ids = _knn_ring_pass(remaining, pts, level, r, k_col, qid_col, pid_col)
+        resolved, resolved_ids, topk = _knn_ring_pass(remaining, pts, level, r, k_col, qid_col, pid_col)
         resolved_parts.append(resolved.select(qid_col, pid_col, "dist_km", "rank"))
+        cached_passes.append(topk)
         remaining = remaining.join(F.broadcast(resolved_ids), qid_col, "left_anti")
         r *= ring_growth
 
@@ -318,6 +322,13 @@ def knn_join(
     out = fb
     for part in resolved_parts:
         out = out.unionByName(part)
+    # materialize once through the per-pass caches, then release them:
+    # the returned result stays persisted (output-sized, lineage intact),
+    # nothing input-sized is pinned across the caller's session
+    out = out.persist()
+    out.count()
+    for topk in cached_passes:
+        topk.unpersist()
     return out
 
 

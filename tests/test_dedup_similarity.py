@@ -182,3 +182,25 @@ class TestSimilarity:
             for r in similarity.random_hyperplane_signatures(emb.repartition(7)).collect()
         }
         assert s1 == s2
+
+
+class TestStorageRelease:
+    def test_dedup_ops_release_input_sized_caches(self, spark, docs):
+        """r2 leak finding: each pair operator must release its persisted
+        input-sized intermediates on the query path. Only the output-sized
+        result may stay pinned, and unpersisting it returns storage to the
+        caller's baseline."""
+        spark.catalog.clearCache()
+        sc = spark.sparkContext._jsc.sc()
+        docs.count()  # the module fixture's own cache
+        baseline = sc.getPersistentRDDs().size()
+        outs = [
+            dedup.lsh_candidate_pairs(docs),
+            dedup.ngram_jaccard_pairs(docs, threshold=0.2),
+            dedup.simhash_near_pairs(docs),
+        ]
+        # operators are eager: at this point only the 3 results are pinned
+        assert sc.getPersistentRDDs().size() <= baseline + len(outs)
+        for o in outs:
+            o.unpersist()
+        assert sc.getPersistentRDDs().size() <= baseline

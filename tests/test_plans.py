@@ -124,3 +124,24 @@ class TestBucketing:
             assert j.count() == li.join(orders, li.l_orderkey == orders.o_orderkey).count()
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+class TestNgramDfShape:
+    def test_df_is_partial_aggregated_not_windowed(self, spark, sf_dir):
+        """Document frequency must come from a groupBy (map-side partial
+        aggregation) + join back — a Window.partitionBy(sh) funnels a hot
+        shingle's full posting list through ONE task at 100 TB."""
+        import re
+
+        from maplibre_tile_spec_spark.operators import dedup
+        from maplibre_tile_spec_spark.sources import tables
+
+        docs = tables.load(spark, sf_dir, "documents")
+        out, _sets = dedup._ngram_jaccard_build(docs, "text", "doc_id", 3, 0.2)
+        plan = plan_of(out)
+        assert "windowspecdefinition(sh" not in plan, "df computed via hot-key window"
+        # the df aggregate: partial + final HashAggregate keyed on sh
+        assert re.search(r"HashAggregate\(keys=\[sh", plan), "df groupBy missing"
+        # the only windows left are per-document (id-partitioned prefix rank)
+        for m in re.finditer(r"windowspecdefinition\((\w+)", plan):
+            assert m.group(1).startswith("id"), f"unexpected window key {m.group(1)}"
