@@ -598,6 +598,7 @@ def reencode_tile(buf: bytes, use_fsst: bool = True, fixture_rules: bool = True)
     pos = 0
     n = len(buf)
     while pos < n:
+        frame_start = pos  # BEFORE the length varint — it can span >1 byte
         v, pos = K.varint_decode(buf, 1, pos)
         length = int(v[0])
         start = pos
@@ -605,7 +606,8 @@ def reencode_tile(buf: bytes, use_fsst: bool = True, fixture_rules: bool = True)
         tag = int(v[0])
         body_end = start + length
         if tag != TAG_EMBEDDED:
-            out += bytes(buf[start - 1 : body_end])  # unknown frame: copy
+            # unknown frame: copy verbatim INCLUDING the full length varint
+            out += bytes(buf[frame_start:body_end])
             pos = body_end
             continue
         out += _reencode_layer(buf, pos, body_end, use_fsst=use_fsst, fixture_rules=fixture_rules)

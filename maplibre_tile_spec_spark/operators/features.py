@@ -81,17 +81,30 @@ def _parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
 
         flo = wkts.iloc[rest_idx].str.findall(r"-?[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?")
         counts = flo.map(len).to_numpy()
-        total = int(counts.sum())
-        allf = np.fromiter(itertools.chain.from_iterable(flo), dtype=np.float64, count=total)
-        xs = allf[0::2]
-        ys = allf[1::2]
-        voffs = np.concatenate(([0], np.cumsum(counts // 2)[:-1]))
-        rlon[rest_idx] = xs[voffs]
-        rlat[rest_idx] = ys[voffs]
-        x0[rest_idx] = np.minimum.reduceat(xs, voffs)
-        y0[rest_idx] = np.minimum.reduceat(ys, voffs)
-        x1[rest_idx] = np.maximum.reduceat(xs, voffs)
-        y1[rest_idx] = np.maximum.reduceat(ys, voffs)
+        ok = (counts > 0) & (counts % 2 == 0)
+        if ok.all():
+            total = int(counts.sum())
+            allf = np.fromiter(itertools.chain.from_iterable(flo), dtype=np.float64, count=total)
+            xs = allf[0::2]
+            ys = allf[1::2]
+            voffs = np.concatenate(([0], np.cumsum(counts // 2)[:-1]))
+            rlon[rest_idx] = xs[voffs]
+            rlat[rest_idx] = ys[voffs]
+            x0[rest_idx] = np.minimum.reduceat(xs, voffs)
+            y0[rest_idx] = np.minimum.reduceat(ys, voffs)
+            x1[rest_idx] = np.maximum.reduceat(xs, voffs)
+            y1[rest_idx] = np.maximum.reduceat(ys, voffs)
+        else:
+            # a row with an odd/zero numeric-token count (3D coords, EMPTY
+            # geometry, stray token) would silently misalign the global
+            # even/odd split for every row after it — fall back to the
+            # structural per-row parser for the whole remainder, which
+            # raises on the offending row instead of corrupting the batch
+            for i in rest_idx:
+                _gt, coords, _structure = W.parse_wkt(wkts.iloc[i])
+                rlon[i], rlat[i] = coords[0, 0], coords[0, 1]
+                x0[i], y0[i] = coords.min(axis=0)
+                x1[i], y1[i] = coords.max(axis=0)
 
     return pd.DataFrame(
         {

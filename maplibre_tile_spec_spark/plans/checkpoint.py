@@ -39,7 +39,15 @@ class BatchRecord:
 
 
 class CheckpointedRun:
-    """Drive a DataFrame-producing function over hash-bucketed batches."""
+    """Drive a DataFrame-producing function over hash-bucketed batches.
+
+    Lineage metrics (rows_in/rows_out) ride ``observe()`` on the single
+    write action, so they are free — but Observation metrics accumulate per
+    *execution of the observed subtree*. The ``transform`` callable must
+    therefore scan its input once within the write (the normal case); a
+    transform whose plan references the batch multiple times without caching
+    (e.g. an uncached self-join) would multiply the recorded counts. Cache
+    the input inside such a transform, or treat rows_in as scans×rows."""
 
     def __init__(self, output_path: str, n_batches: int = 8):
         self.output_path = output_path

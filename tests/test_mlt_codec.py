@@ -476,3 +476,29 @@ class TestInspect:
             "name:en", "name:en", "name:de", "name:de",
         ]
         assert C.decode_tile(buf)[0].props["name:en"] == ["a", "b", None]
+
+
+class TestUnknownFrameCopy:
+    def test_long_unknown_frame_copies_length_varint(self):
+        """An unknown (non-embedded) frame longer than 127 bytes carries a
+        multi-byte length varint; the verbatim copy must preserve it
+        (regression: buf[start-1:] dropped all but the last varint byte)."""
+        import numpy as np
+
+        from maplibre_tile_spec_spark.functions import kernels as K
+        from maplibre_tile_spec_spark.functions.mlt_codec import reencode_tile
+
+        body = b"\x07" + bytes(200)  # unknown tag 7 + 200-byte payload
+        frame = K.varint_encode(np.array([len(body)], dtype=np.uint64)) + body
+        assert len(frame) == len(body) + 2  # 2-byte length varint
+        assert reencode_tile(frame) == frame
+
+    def test_short_unknown_frame_still_verbatim(self):
+        import numpy as np
+
+        from maplibre_tile_spec_spark.functions import kernels as K
+        from maplibre_tile_spec_spark.functions.mlt_codec import reencode_tile
+
+        body = b"\x07" + bytes(10)
+        frame = K.varint_encode(np.array([len(body)], dtype=np.uint64)) + body
+        assert reencode_tile(frame) == frame

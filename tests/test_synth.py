@@ -166,3 +166,39 @@ class TestJoinSides:
             parents = [p for p in z1 if p.qk_min <= c.qk_min and c.qk_max <= p.qk_max]
             assert len(parents) == 1
             assert c.quadkey.startswith(parents[0].quadkey)
+
+
+class TestFeatureBatchGuards:
+    def test_odd_token_rows_fall_back_to_structural_parse(self):
+        """A 3D/stray-token WKT row must not silently misalign the
+        vectorized even/odd coordinate split for rows after it."""
+        import pandas as pd
+        import pytest as _pytest
+
+        from maplibre_tile_spec_spark.operators.features import _parse_batch
+
+        good = "LINESTRING (1 2, 3 4)"
+        bad = "LINESTRING (1 2, 3 4 9)"  # stray token: odd count
+        pdf = pd.DataFrame(
+            {"doc_id": ["a", "b"], "span_offset": [0, 0], "wkt": [bad, good]}
+        )
+        # the structural parser raises loudly on the 3D row instead of
+        # corrupting the batch (coords no longer reshape to [n,2])
+        with _pytest.raises(Exception):
+            _parse_batch(pdf)
+
+    def test_even_mixed_batch_unaffected(self):
+        import pandas as pd
+
+        from maplibre_tile_spec_spark.operators.features import _parse_batch
+
+        pdf = pd.DataFrame(
+            {
+                "doc_id": ["a", "b"],
+                "span_offset": [0, 0],
+                "wkt": ["LINESTRING (1 2, 3 4)", "POINT (5 6)"],
+            }
+        )
+        out = _parse_batch(pdf)
+        assert out.loc[0, "rep_lon"] == 1.0 and out.loc[0, "lat_max"] == 4.0
+        assert out.loc[1, "rep_lon"] == 5.0
