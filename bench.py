@@ -151,13 +151,20 @@ def run_bench(cpus: int, sf_dir: str, scaling_only: bool = False) -> dict:
             pipeline = second
     timings: dict[str, float] = {"docs_pipeline": pipeline["elapsed_sec"]}
     if not scaling_only:
+        # best-of-2 per cell: this host shows 2-4x noise spikes, and r2's
+        # single-run cells produced phantom regressions (ngram recorded
+        # 43 s vs 9-18 s on controlled re-runs). Two runs bound the damage.
         for name in HEADLINE:
-            t0 = time.perf_counter()
-            _force(QUERIES[name](spark, sf_dir))
-            timings[name] = round(time.perf_counter() - t0, 3)
-            # persisted intermediates (minhash signatures, ngram shingle
-            # sets) must not pollute the next query's measurement
-            spark.catalog.clearCache()
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _force(QUERIES[name](spark, sf_dir))
+                elapsed = round(time.perf_counter() - t0, 3)
+                best = elapsed if best is None or elapsed < best else best
+                # persisted/result-pinned intermediates must not pollute
+                # the next measurement
+                spark.catalog.clearCache()
+            timings[name] = best
     spark.stop()
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -199,38 +206,48 @@ def _burn(_):
     return s
 
 
+def _scaling_child(cpus: int, env: dict) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--cpus", str(cpus), "--scaling-child"],
+        capture_output=True,
+        text=True,
+        check=True,
+        env=env,
+    )
+    line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
 def run_scaling() -> dict:
-    """Same job at N and 4N cores, separate JVMs, best-of-K per level →
-    throughput + scaling efficiency, plus a raw-CPU hardware ceiling at the
-    same worker counts (the sandbox's shared hyperthreaded cores cap even
-    perfect scaling below 1.0)."""
+    """Same job at N and 4N cores, separate JVMs — **paired protocol**: each
+    of the K rounds runs lo then hi back-to-back and contributes one
+    per-pair efficiency ratio; the reported value is the median of those
+    ratios. Pairing cancels the host's slow drift (the shared box gets
+    noisier/quieter on minute scales), which the old
+    median-of-K-per-level protocol recorded as phantom inefficiency
+    (0.756 recorded vs 0.84 measured paired, same code — r2 finding).
+    A raw-CPU hardware ceiling is measured alongside: shared hyperthreads
+    cap even perfect software below 1.0."""
     lo, hi = SCALE_N, SCALE_N * 4
     results: dict[int, dict] = {}
     rates: dict[int, list] = {lo: [], hi: []}
+    ratios: list[float] = []
     env = dict(os.environ, SPARK_GRAFT_DOCS=str(SCALE_DOCS))
-    for cpus in (lo, hi):
-        best = None
-        for _ in range(SCALE_RUNS):
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--cpus", str(cpus), "--scaling-child"],
-                capture_output=True,
-                text=True,
-                check=True,
-                env=env,
-            )
-            line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
-            r = json.loads(line)
-            rates[cpus].append(r["docs_pipeline"]["docs_per_sec"])
-            if best is None or r["docs_pipeline"]["docs_per_sec"] > best["docs_pipeline"]["docs_per_sec"]:
-                best = r
-        results[cpus] = best
-    # the RATIO uses medians: independently best-of-K numerator/denominator
-    # amplifies host noise instead of cancelling it
+    for _ in range(SCALE_RUNS):
+        pair = {}
+        for cpus in (lo, hi):
+            r = _scaling_child(cpus, env)
+            rate = r["docs_pipeline"]["docs_per_sec"]
+            rates[cpus].append(rate)
+            pair[cpus] = rate
+            if cpus not in results or rate > results[cpus]["docs_pipeline"]["docs_per_sec"]:
+                results[cpus] = r
+        ratios.append((pair[hi] / pair[lo]) / (hi / lo))
     import statistics
 
+    eff = statistics.median(ratios)
     t_lo = statistics.median(rates[lo])
     t_hi = statistics.median(rates[hi])
-    eff = (t_hi / t_lo) / (hi / lo)
     raw_lo = _raw_cpu_rate(lo)
     raw_hi = _raw_cpu_rate(hi)
     hw_ceiling = (raw_hi / raw_lo) / (hi / lo)
@@ -238,6 +255,8 @@ def run_scaling() -> dict:
         "metric": f"scaling_efficiency_{lo}_to_{hi}",
         "value": round(eff, 3),
         "unit": "ratio",
+        "protocol": "median of per-pair (lo,hi back-to-back) ratios",
+        "pair_ratios": [round(x, 3) for x in ratios],
         "throughput_docs_per_sec": {f"local[{lo}]": t_lo, f"local[{hi}]": t_hi},
         "all_runs_docs_per_sec": {f"local[{lo}]": rates[lo], f"local[{hi}]": rates[hi]},
         "tiles_per_sec": {

@@ -1,12 +1,14 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is real and tested — schemas, deterministic binary
-synthesis, partitioning, Arrow-batched UDF signatures, batch shapes. The
-codec step itself (JPEG decode, resampling, frame extraction) is STUBBED:
-the image/audio libraries are not present in this container, so
-``decode_image``/``decode_audio`` parse only the deterministic header our
-synthesizer writes and raise ``NotImplementedError`` for real formats. Swap
-the marked stub for PIL/libav calls in production; nothing else changes.
+synthesis, partitioning, Arrow-batched UDF signatures, batch shapes.
+
+Real formats that need no library decode for real: **WAV/RIFF** (struct
+chunk walk → sample_rate, frame count, raw PCM body), **uncompressed BMP**
+(BITMAPINFOHEADER), and **binary PPM/PGM**. Compressed formats (JPEG/PNG/
+MP3/MP4) are the one remaining STUB: they need PIL/libav, which are not in
+this container — the ``_try_pil_decode`` capability gate makes production a
+pure library swap; nothing else changes.
 """
 
 from __future__ import annotations
@@ -105,14 +107,86 @@ def _try_pil_decode(payload: bytes):
     return "image", img.width, img.height, 1, 0, body
 
 
+def _decode_wav(payload: bytes) -> tuple[str, int, int, int, int, bytes]:
+    """Real WAV/RIFF decode — pure struct walking, no library. Returns
+    n_frames = sample frames in the data chunk and the raw PCM body."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos = 12
+    rate = block_align = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt " and clen >= 16:
+            _fmt, _nch, rate, _brate, block_align, _bits = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if rate is None or data is None or not block_align:
+        raise ValueError("WAV missing fmt/data chunk")
+    return "audio", 0, 0, len(data) // block_align, rate, data
+
+
+def _decode_bmp(payload: bytes) -> tuple[str, int, int, int, int, bytes]:
+    """Real uncompressed BMP decode (BITMAPINFOHEADER, BI_RGB only)."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP")
+    (data_off,) = struct.unpack("<I", payload[10:14])
+    w, h = struct.unpack("<ii", payload[18:26])
+    (compression,) = struct.unpack("<I", payload[30:34])
+    if compression != 0:
+        raise NotImplementedError("compressed BMP requires an image lib")
+    return "image", int(w), abs(int(h)), 1, 0, payload[data_off:]
+
+
+def _decode_pnm(payload: bytes) -> tuple[str, int, int, int, int, bytes]:
+    """Real binary PPM/PGM (P6/P5) decode — ASCII header + raw raster."""
+    if payload[:2] not in (b"P6", b"P5"):
+        raise ValueError("not a binary PNM")
+    # header = magic, width, height, maxval as whitespace-separated ASCII
+    # tokens; '#' starts a comment running to end-of-line
+    tokens: list[int] = []
+    pos = 2
+    while len(tokens) < 3 and pos < len(payload):
+        c = payload[pos : pos + 1]
+        if c == b"#":
+            pos = payload.index(b"\n", pos) + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(payload) and not payload[end : end + 1].isspace():
+                end += 1
+            tokens.append(int(payload[pos:end]))
+            pos = end
+    if len(tokens) < 3:
+        raise ValueError("truncated PNM header")
+    w, h, _maxval = tokens
+    return "image", w, h, 1, 0, payload[pos + 1 :]  # single whitespace after maxval
+
+
+_REAL_DECODERS = {
+    b"RIFF": _decode_wav,
+    b"BM": _decode_bmp,
+    b"P6": _decode_pnm,
+    b"P5": _decode_pnm,
+}
+
+
 def _parse_header(payload: bytes) -> tuple[str, int, int, int, int, bytes]:
     if payload[:4] != _MAGIC:
+        for magic, dec in _REAL_DECODERS.items():
+            if payload[: len(magic)] == magic:
+                return dec(payload)
         real = _try_pil_decode(payload)
         if real is not None:
             return real
-        # >>> STUB: real formats (JPEG/PNG/WAV/MP4) need PIL / libav,
-        # which are not installed in this container.
-        raise NotImplementedError("real media decoding requires image/audio libs")
+        # >>> STUB: compressed formats (JPEG/PNG/MP3/MP4) need PIL / libav,
+        # which are not installed in this container. WAV/BMP/PNM decode for
+        # real above with no library.
+        raise NotImplementedError("compressed media decoding requires image/audio libs")
     kind_b, w, h, frames, rate = struct.unpack("<BHHHI", payload[4:15])
     kind = ["image", "audio", "video"][kind_b]
     return kind, w, h, frames, rate, payload[15:]
@@ -145,12 +219,16 @@ def media_features(media: DataFrame) -> DataFrame:
                     "mean_byte": means,
                     "std_byte": stds,
                     "n_frames": [int(h[3]) for h in headers],
+                    "sample_rate": [int(h[4]) for h in headers],
                 }
             )
 
     return media.mapInPandas(
         feats,
-        schema="media_ref string, kind string, n_bytes long, mean_byte double, std_byte double, n_frames int",
+        schema=(
+            "media_ref string, kind string, n_bytes long, mean_byte double, "
+            "std_byte double, n_frames int, sample_rate int"
+        ),
     )
 
 
