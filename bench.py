@@ -57,6 +57,7 @@ HEADLINE = [
     "mlt_tile_encode",
     "mlt_tile_encode_clipped",
     "mlt_tile_roundtrip",
+    "mlt_transcode",
     "media_features",
 ]
 

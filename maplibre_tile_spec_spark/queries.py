@@ -1283,6 +1283,37 @@ FROM h
 """
 
 
+def q_mlt_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed MLT→MLT transcode over the synthetic corpus: encode the
+    tile table, decode every tile back to values in Arrow batches and
+    re-encode it (operators/tiler.py:transcode_tiles). The projection is
+    SQL-checkable: the tile set must equal the independent SQL tile
+    assignment and byte_exact must be TRUE on every row (a single False
+    flips the value hash). In/out byte sizes stay pytest-verified."""
+    from maplibre_tile_spec_spark.operators import features as FE
+    from maplibre_tile_spec_spark.operators import tiler
+
+    docs = _geo_docs_from_events(spark, sf_dir)
+    feats = FE.extract_features(docs)
+    tiles = tiler.encode_tiles(feats, zoom=8)
+    return tiler.transcode_tiles(tiles).select(
+        F.col("z").cast("long"),
+        F.col("x").cast("long"),
+        F.col("y").cast("long"),
+        F.col("byte_exact"),
+        (F.col("bytes_out") == F.col("bytes_in")).alias("size_match"),
+    )
+
+
+def _sql_mlt_transcode() -> str:
+    return f"""
+WITH pts AS (SELECT event_id, {_member_lon_sql(0)} AS lon, {_member_lat_sql(0)} AS lat FROM events)
+SELECT CAST(8 AS BIGINT) AS z, {TM.tile_x_sql('lon', 8)} AS x, {TM.tile_y_sql('lat', 8)} AS y,
+       TRUE AS byte_exact, TRUE AS size_match
+FROM pts GROUP BY 2, 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1316,6 +1347,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs": q_simhash_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
     "mlt_tile_encode": q_mlt_tile_encode,
+    "mlt_transcode": q_mlt_transcode,
     "mlt_tile_encode_clipped": q_mlt_tile_encode_clipped,
     "mlt_tile_roundtrip": q_mlt_tile_roundtrip,
     "media_features": q_media_features,
@@ -1350,6 +1382,7 @@ ORACLES: dict[str, str] = {
     "simhash_pairs": _sql_simhash_pairs(),
     "ann_cosine_topk": _sql_ann_cosine_topk(),
     "mlt_tile_encode": _sql_mlt_tile_encode(),
+    "mlt_transcode": _sql_mlt_transcode(),
     "mlt_tile_encode_clipped": _sql_mlt_tile_encode_clipped(),
     "mlt_tile_roundtrip": _sql_mlt_tile_roundtrip(),
     "media_features": _sql_media_features(),
