@@ -40,6 +40,11 @@ MLT_POINT, MLT_LINESTRING, MLT_POLYGON, MLT_MULTIPOINT, MLT_MULTILINESTRING, MLT
 # type codes (MltTypeMap.Tag0x01)
 TC_ID_U32, TC_ID_U32_NULL, TC_ID_U64, TC_ID_U64_NULL, TC_GEOMETRY = 0, 1, 2, 3, 4
 TC_STRUCT = 30
+# spec complex types the reference's shipping encoder never emits
+# (specification.md LIST=4 / MAP=5 under the COMPLEX_TYPE flag); framed here
+# with this codec's even/odd nullable convention like the scalar codes
+TC_LIST = 32
+TC_MAP = 34
 _SCALAR_CODES = {
     "boolean": 10,
     "int8": 12,
@@ -104,6 +109,32 @@ class StructColumn:
 
 
 @dataclass
+class ListColumn:
+    """Variable-size LIST column (specification.md:229-340, ComplexType
+    LIST + present/length-pair nested-field encoding). NOT emitted by the
+    reference's shipping encoder (MltTypeMap.java stops at struct-of-string)
+    — this implements the spec-described layout: optional PRESENT stream,
+    LENGTH stream (collection sizes), then the flattened child value
+    streams reusing the scalar encoders, in pre-order."""
+
+    name: str
+    elem_type: str  # key of _SCALAR_CODES
+    values: list  # list[list | None]
+    nullable: bool = True
+
+
+@dataclass
+class MapColumn:
+    """MAP column (ComplexType MAP): present/length pair + flattened key
+    and value string streams ("length, key, data streams" per the spec's
+    map row). Keys and values are strings — the OSM-style tag map."""
+
+    name: str
+    values: list  # list[dict[str, str] | None]
+    nullable: bool = True
+
+
+@dataclass
 class LayerData:
     name: str
     extent: int
@@ -112,6 +143,8 @@ class LayerData:
     has_long_ids: bool = False
     props: list[PropColumn] = field(default_factory=list)
     structs: list[StructColumn] = field(default_factory=list)
+    lists: list[ListColumn] = field(default_factory=list)
+    maps: list[MapColumn] = field(default_factory=list)
     tessellate: bool = False  # emit the 7-stream pretessellated layout
     use_fsst: bool = False  # consider FSST candidates for string/struct columns
 
@@ -503,10 +536,64 @@ def encode_struct_column(struct: StructColumn, use_fsst: bool = False) -> bytes:
     return out
 
 
+def encode_list_column(col: ListColumn, use_fsst: bool = False) -> bytes:
+    """Spec LIST layout (present/length-pair nested-field encoding,
+    specification.md "Nested Fields Encoding"): varint(n_streams) +
+    [PRESENT] + LENGTH (collection sizes) + flattened child value streams
+    in pre-order, reusing the scalar stream encoders."""
+    present = np.array([v is not None for v in col.values])
+    nn = [v for v in col.values if v is not None]
+    lengths = np.array([len(v) for v in nn], dtype=np.int64)
+    flat = [x for v in nn for x in v]
+    body = b""
+    n_streams = 0
+    if col.nullable:
+        body += _boolean_stream(present, K.PST_PRESENT)
+        n_streams += 1
+    body += _int_stream(lengths, False, K.PST_LENGTH, LT_VAR_BINARY)
+    n_streams += 1
+    if col.elem_type == "string":
+        child, n_child = _encode_string_streams([str(x) for x in flat], use_fsst=use_fsst)
+        body += child
+        n_streams += n_child
+    else:
+        body += encode_prop_column(PropColumn(col.name, col.elem_type, flat, nullable=False))
+        n_streams += 1
+    return _varint1(n_streams) + body
+
+
+def encode_map_column(col: MapColumn, use_fsst: bool = False) -> bytes:
+    """Spec MAP layout ("length, key, data streams"): [PRESENT] + LENGTH
+    (entries per feature) + varint-prefixed flattened key string streams +
+    varint-prefixed flattened value string streams. Key order is the map's
+    insertion order, preserved by the roundtrip."""
+    present = np.array([v is not None for v in col.values])
+    nn = [v for v in col.values if v is not None]
+    lengths = np.array([len(d) for d in nn], dtype=np.int64)
+    keys = [k for d in nn for k in d]
+    vals = [d[k] for d in nn for k in d]
+    body = b""
+    if col.nullable:
+        body += _boolean_stream(present, K.PST_PRESENT)
+    body += _int_stream(lengths, False, K.PST_LENGTH, LT_VAR_BINARY)
+    kbody, nk = _encode_string_streams([str(k) for k in keys], use_fsst=use_fsst)
+    vbody, nv = _encode_string_streams([str(v) for v in vals], use_fsst=use_fsst)
+    body += _varint1(nk) + kbody
+    body += _varint1(nv) + vbody
+    return body
+
+
 def encode_layer(layer: LayerData) -> bytes:
     meta = _put_string(layer.name)
     meta += _varint1(layer.extent)
-    n_cols = (1 if layer.ids is not None else 0) + 1 + len(layer.props) + len(layer.structs)
+    n_cols = (
+        (1 if layer.ids is not None else 0)
+        + 1
+        + len(layer.props)
+        + len(layer.structs)
+        + len(layer.lists)
+        + len(layer.maps)
+    )
     meta += _varint1(n_cols)
     body = b""
     if layer.ids is not None:
@@ -528,6 +615,13 @@ def encode_layer(layer: LayerData) -> bytes:
         for suffix, _values in struct_col.children:
             meta += _varint1(_SCALAR_CODES["string"] + 1) + _put_string(suffix)
         body += encode_struct_column(struct_col, use_fsst=layer.use_fsst)
+    for lcol in layer.lists:
+        meta += _varint1(TC_LIST + (1 if lcol.nullable else 0)) + _put_string(lcol.name)
+        meta += _varint1(_SCALAR_CODES[lcol.elem_type])
+        body += encode_list_column(lcol, use_fsst=layer.use_fsst)
+    for mcol in layer.maps:
+        meta += _varint1(TC_MAP + (1 if mcol.nullable else 0)) + _put_string(mcol.name)
+        body += encode_map_column(mcol, use_fsst=layer.use_fsst)
     payload = meta + body
     tag = _varint1(TAG_EMBEDDED)
     return K.varint_encode(np.array([len(payload) + len(tag)], dtype=np.uint64)) + tag + payload
@@ -636,6 +730,9 @@ def _reencode_layer(buf: bytes, pos: int, end: int, use_fsst: bool, fixture_rule
                 if ctc >= 10:
                     ch_name, pos = _get_string(buf, pos)
                 children.append((ctc, ch_name))
+        elif tc & ~1 == TC_LIST:
+            ev, pos = K.varint_decode(buf, 1, pos)  # element type code
+            children.append((int(ev[0]), None))
         col_meta.append((tc, cname, children))
 
     meta = _put_string(name) + _varint1(extent) + _varint1(n_cols)
@@ -676,6 +773,19 @@ def _reencode_layer(buf: bytes, pos: int, end: int, use_fsst: bool, fixture_rule
                 [(ch if ch is not None else "", props_struct[(cname or "") + (ch or "")]) for _ctc, ch in children],
             )
             body += encode_struct_column(struct, use_fsst=use_fsst)
+        elif tc & ~1 == TC_LIST:
+            elem = _CODE_TO_SCALAR[children[0][0] & ~1]
+            meta += _varint1(tc) + _put_string(cname) + _varint1(children[0][0])
+            values, pos = _decode_list_column(buf, pos, bool(tc & 1), elem)
+            body += encode_list_column(
+                ListColumn(cname, elem, values, nullable=bool(tc & 1)), use_fsst=use_fsst
+            )
+        elif tc & ~1 == TC_MAP:
+            meta += _varint1(tc) + _put_string(cname)
+            values, pos = _decode_map_column(buf, pos, bool(tc & 1))
+            body += encode_map_column(
+                MapColumn(cname, values, nullable=bool(tc & 1)), use_fsst=use_fsst
+            )
         else:
             scalar = _CODE_TO_SCALAR[tc & ~1]
             nullable = bool(tc & 1)
@@ -726,6 +836,9 @@ def _decode_layer(buf: bytes, pos: int, end: int, columns: set[str] | None = Non
                 if ctc >= 10:
                     ch_name, pos = _get_string(buf, pos)
                 children.append((ctc, ch_name))
+        elif tc & ~1 == TC_LIST:
+            ev, pos = K.varint_decode(buf, 1, pos)  # element type code
+            children.append((int(ev[0]), None))
         col_meta.append((tc, cname, children))
 
     ids = None
@@ -747,6 +860,13 @@ def _decode_layer(buf: bytes, pos: int, end: int, columns: set[str] | None = Non
         elif tc == TC_STRUCT:
             props_struct, pos = _decode_shared_dict_struct(buf, pos, cname, children)
             props.update(props_struct)
+        elif tc & ~1 == TC_LIST:
+            elem = _CODE_TO_SCALAR[children[0][0] & ~1]
+            values, pos = _decode_list_column(buf, pos, bool(tc & 1), elem)
+            props[cname] = values
+        elif tc & ~1 == TC_MAP:
+            values, pos = _decode_map_column(buf, pos, bool(tc & 1))
+            props[cname] = values
         else:
             scalar = _CODE_TO_SCALAR[tc & ~1]
             nullable = bool(tc & 1)
@@ -772,6 +892,53 @@ def _decode_layer(buf: bytes, pos: int, end: int, columns: set[str] | None = Non
                 values, pos = _decode_scalar_column(buf, pos, scalar, nullable)
                 props[cname] = values
     return DecodedLayer(name, extent, ids, geometry, props, triangles, index_buffer)
+
+
+def _reassemble_collections(present, lengths: np.ndarray, flat: list, build) -> list:
+    """present/length pair → per-row collections (None where absent)."""
+    out = []
+    offs = np.concatenate(([0], np.cumsum(lengths))).astype(np.int64)
+    k = 0
+    n_rows = len(present) if present is not None else lengths.shape[0]
+    for i in range(n_rows):
+        if present is not None and not present[i]:
+            out.append(None)
+            continue
+        out.append(build(flat[int(offs[k]) : int(offs[k + 1])]))
+        k += 1
+    return out
+
+
+def _decode_list_column(buf: bytes, pos: int, nullable: bool, elem: str) -> tuple[list, int]:
+    v, pos = K.varint_decode(buf, 1, pos)
+    n_streams = int(v[0])
+    present = None
+    consumed = 0
+    if nullable:
+        present, pos = _decode_boolean_stream(buf, pos)
+        consumed += 1
+    m, pos = K.unpack_stream_metadata(buf, pos)
+    lengths, pos = _decode_int_stream_with_meta(buf, pos, m, signed=False, bits=32)
+    consumed += 1
+    if elem == "string":
+        flat, pos = _decode_string_column(buf, pos, n_streams - consumed, nullable=False)
+    else:
+        flat, pos = _decode_scalar_column(buf, pos, elem, nullable=False)
+    return _reassemble_collections(present, np.asarray(lengths), list(flat), list), pos
+
+
+def _decode_map_column(buf: bytes, pos: int, nullable: bool) -> tuple[list, int]:
+    present = None
+    if nullable:
+        present, pos = _decode_boolean_stream(buf, pos)
+    m, pos = K.unpack_stream_metadata(buf, pos)
+    lengths, pos = _decode_int_stream_with_meta(buf, pos, m, signed=False, bits=32)
+    v, pos = K.varint_decode(buf, 1, pos)
+    keys, pos = _decode_string_column(buf, pos, int(v[0]), nullable=False)
+    v, pos = K.varint_decode(buf, 1, pos)
+    vals, pos = _decode_string_column(buf, pos, int(v[0]), nullable=False)
+    flat = list(zip(keys, vals))
+    return _reassemble_collections(present, np.asarray(lengths), flat, dict), pos
 
 
 def _decode_boolean_stream(buf: bytes, pos: int) -> tuple[np.ndarray, int]:

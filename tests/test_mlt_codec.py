@@ -502,3 +502,51 @@ class TestUnknownFrameCopy:
         body = b"\x07" + bytes(10)
         frame = K.varint_encode(np.array([len(body)], dtype=np.uint64)) + body
         assert reencode_tile(frame) == frame
+
+
+class TestListMapColumns:
+    """Spec complex types (LIST/MAP, specification.md Nested Fields
+    Encoding) — present/length-pair flattening. The reference's shipping
+    encoder never emits these (MltTypeMap.java stops at struct-of-string);
+    this is spec-beyond-reference coverage."""
+
+    def _layer(self, **kw):
+        import numpy as np
+
+        g = C.GeometryColumn(
+            types=np.zeros(4, dtype=np.int64),
+            num_geometries=np.empty(0, np.int64),
+            num_parts=np.empty(0, np.int64),
+            num_rings=np.empty(0, np.int64),
+            vertices=np.arange(8, dtype=np.int64),
+        )
+        return C.LayerData(name="l", extent=4096, geometry=g,
+                           ids=np.arange(4, dtype=np.int64), **kw)
+
+    def test_list_string_roundtrip_with_nulls(self):
+        vals = [["a", "bb", "a"], None, [], ["zz"]]
+        la = self._layer(lists=[C.ListColumn("tags", "string", vals)])
+        out = C.decode_tile(C.encode_layer(la))[0]
+        assert out.props["tags"] == vals
+
+    def test_list_int64_roundtrip(self):
+        vals = [[1, 2, 3], [-5], [], [2**40, 0]]
+        la = self._layer(lists=[C.ListColumn("nums", "int64", vals, nullable=False)])
+        out = C.decode_tile(C.encode_layer(la))[0]
+        assert out.props["nums"] == vals
+
+    def test_map_roundtrip_with_nulls(self):
+        vals = [{"name": "x", "name:en": "y"}, None, {}, {"k": "v"}]
+        la = self._layer(maps=[C.MapColumn("props", vals)])
+        out = C.decode_tile(C.encode_layer(la))[0]
+        assert out.props["props"] == vals
+
+    def test_transcode_preserves_list_map_bytes(self):
+        vals = [["a", "bb"], None, ["a"], []]
+        maps = [{"k": "v"}, {"k": "w", "j": "v"}, None, {}]
+        la = self._layer(
+            lists=[C.ListColumn("tags", "string", vals)],
+            maps=[C.MapColumn("props", maps)],
+        )
+        blob = C.encode_layer(la)
+        assert C.reencode_tile(blob, fixture_rules=False) == blob
