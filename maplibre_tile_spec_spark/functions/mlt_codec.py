@@ -45,6 +45,9 @@ TC_STRUCT = 30
 # with this codec's even/odd nullable convention like the scalar codes
 TC_LIST = 32
 TC_MAP = 34
+TC_VEC2 = 36
+TC_VEC3 = 38
+TC_RANGE_MAP = 40
 _SCALAR_CODES = {
     "boolean": 10,
     "int8": 12,
@@ -135,6 +138,35 @@ class MapColumn:
 
 
 @dataclass
+class VecColumn:
+    """Fixed-size VEC_2/VEC_3 column (ComplexType VEC_2=0/VEC_1, spec type
+    table "Vec2<T>, Vec3<T> ... Fixed-Size"): no length stream — one data
+    stream of dims-interleaved components. ``elem_type`` int32/int64 uses
+    the integer stream encoders; float/double stores f64 LE (vectors carry
+    real-valued semantics, unlike the reference's f32-coerced scalar
+    floats)."""
+
+    name: str
+    elem_type: str  # int32 | int64 | float | double
+    values: list  # list[tuple | None], each of len dims
+    dims: int = 2
+    nullable: bool = True
+
+
+@dataclass
+class RangeMapColumn:
+    """RANGE_MAP logical type (spec "RangeMap ... Map<vec2<Double>, T>"):
+    per-feature sets of (lo, hi) → string value for linear referencing.
+    RangeSets store ranges and data in separate streams: LENGTH (entries
+    per feature) + RANGE stream (interleaved f64 min/max) + flattened
+    value string streams."""
+
+    name: str
+    values: list  # list[list[tuple[float, float, str]] | None]
+    nullable: bool = True
+
+
+@dataclass
 class LayerData:
     name: str
     extent: int
@@ -145,6 +177,8 @@ class LayerData:
     structs: list[StructColumn] = field(default_factory=list)
     lists: list[ListColumn] = field(default_factory=list)
     maps: list[MapColumn] = field(default_factory=list)
+    vecs: list[VecColumn] = field(default_factory=list)
+    range_maps: list[RangeMapColumn] = field(default_factory=list)
     tessellate: bool = False  # emit the 7-stream pretessellated layout
     use_fsst: bool = False  # consider FSST candidates for string/struct columns
 
@@ -583,6 +617,58 @@ def encode_map_column(col: MapColumn, use_fsst: bool = False) -> bytes:
     return body
 
 
+def _f64_stream(arr: np.ndarray) -> bytes:
+    payload = np.asarray(arr, dtype="<f8").tobytes()
+    return (
+        K.pack_stream_metadata(
+            K.PST_DATA, DT_NONE, K.LLT_NONE, K.LLT_NONE, K.PLT_NONE, int(arr.shape[0]), len(payload)
+        )
+        + payload
+    )
+
+
+def _decode_f64_stream(buf: bytes, pos: int) -> tuple[np.ndarray, int]:
+    m, pos = K.unpack_stream_metadata(buf, pos)
+    arr = np.frombuffer(bytes(buf[pos : pos + m["byte_length"]]), dtype="<f8")
+    return arr, pos + m["byte_length"]
+
+
+def encode_vec_column(col: VecColumn) -> bytes:
+    """[PRESENT] + one dims-interleaved component data stream."""
+    present = np.array([v is not None for v in col.values])
+    nn = [v for v in col.values if v is not None]
+    flat = np.array([c for v in nn for c in v])
+    body = b""
+    if col.nullable:
+        body += _boolean_stream(present, K.PST_PRESENT)
+    if col.elem_type in ("int32", "int64"):
+        body += _int_stream(
+            flat.astype(np.int64), True, K.PST_DATA, DT_NONE,
+            bits=64 if col.elem_type == "int64" else 32,
+        )
+    else:
+        body += _f64_stream(flat.astype(np.float64))
+    return body
+
+
+def encode_range_map_column(col: RangeMapColumn, use_fsst: bool = False) -> bytes:
+    """[PRESENT] + LENGTH + RANGE stream (interleaved f64 lo/hi) +
+    varint-prefixed flattened value string streams."""
+    present = np.array([v is not None for v in col.values])
+    nn = [v for v in col.values if v is not None]
+    lengths = np.array([len(rs) for rs in nn], dtype=np.int64)
+    ranges = np.array([b for rs in nn for (lo, hi, _v) in rs for b in (lo, hi)], dtype=np.float64)
+    vals = [v for rs in nn for (_lo, _hi, v) in rs]
+    body = b""
+    if col.nullable:
+        body += _boolean_stream(present, K.PST_PRESENT)
+    body += _int_stream(lengths, False, K.PST_LENGTH, LT_VAR_BINARY)
+    body += _f64_stream(ranges)
+    vbody, nv = _encode_string_streams([str(v) for v in vals], use_fsst=use_fsst)
+    body += _varint1(nv) + vbody
+    return body
+
+
 def encode_layer(layer: LayerData) -> bytes:
     meta = _put_string(layer.name)
     meta += _varint1(layer.extent)
@@ -593,6 +679,8 @@ def encode_layer(layer: LayerData) -> bytes:
         + len(layer.structs)
         + len(layer.lists)
         + len(layer.maps)
+        + len(layer.vecs)
+        + len(layer.range_maps)
     )
     meta += _varint1(n_cols)
     body = b""
@@ -622,6 +710,14 @@ def encode_layer(layer: LayerData) -> bytes:
     for mcol in layer.maps:
         meta += _varint1(TC_MAP + (1 if mcol.nullable else 0)) + _put_string(mcol.name)
         body += encode_map_column(mcol, use_fsst=layer.use_fsst)
+    for vcol in layer.vecs:
+        code = TC_VEC3 if vcol.dims == 3 else TC_VEC2
+        meta += _varint1(code + (1 if vcol.nullable else 0)) + _put_string(vcol.name)
+        meta += _varint1(_SCALAR_CODES[vcol.elem_type])
+        body += encode_vec_column(vcol)
+    for rcol in layer.range_maps:
+        meta += _varint1(TC_RANGE_MAP + (1 if rcol.nullable else 0)) + _put_string(rcol.name)
+        body += encode_range_map_column(rcol, use_fsst=layer.use_fsst)
     payload = meta + body
     tag = _varint1(TAG_EMBEDDED)
     return K.varint_encode(np.array([len(payload) + len(tag)], dtype=np.uint64)) + tag + payload
@@ -730,7 +826,7 @@ def _reencode_layer(buf: bytes, pos: int, end: int, use_fsst: bool, fixture_rule
                 if ctc >= 10:
                     ch_name, pos = _get_string(buf, pos)
                 children.append((ctc, ch_name))
-        elif tc & ~1 == TC_LIST:
+        elif tc & ~1 in (TC_LIST, TC_VEC2, TC_VEC3):
             ev, pos = K.varint_decode(buf, 1, pos)  # element type code
             children.append((int(ev[0]), None))
         col_meta.append((tc, cname, children))
@@ -786,6 +882,20 @@ def _reencode_layer(buf: bytes, pos: int, end: int, use_fsst: bool, fixture_rule
             body += encode_map_column(
                 MapColumn(cname, values, nullable=bool(tc & 1)), use_fsst=use_fsst
             )
+        elif tc & ~1 in (TC_VEC2, TC_VEC3):
+            dims = 3 if tc & ~1 == TC_VEC3 else 2
+            elem = _CODE_TO_SCALAR[children[0][0] & ~1]
+            meta += _varint1(tc) + _put_string(cname) + _varint1(children[0][0])
+            values, pos = _decode_vec_column(buf, pos, bool(tc & 1), elem, dims)
+            body += encode_vec_column(
+                VecColumn(cname, elem, values, dims=dims, nullable=bool(tc & 1))
+            )
+        elif tc & ~1 == TC_RANGE_MAP:
+            meta += _varint1(tc) + _put_string(cname)
+            values, pos = _decode_range_map_column(buf, pos, bool(tc & 1))
+            body += encode_range_map_column(
+                RangeMapColumn(cname, values, nullable=bool(tc & 1)), use_fsst=use_fsst
+            )
         else:
             scalar = _CODE_TO_SCALAR[tc & ~1]
             nullable = bool(tc & 1)
@@ -836,7 +946,7 @@ def _decode_layer(buf: bytes, pos: int, end: int, columns: set[str] | None = Non
                 if ctc >= 10:
                     ch_name, pos = _get_string(buf, pos)
                 children.append((ctc, ch_name))
-        elif tc & ~1 == TC_LIST:
+        elif tc & ~1 in (TC_LIST, TC_VEC2, TC_VEC3):
             ev, pos = K.varint_decode(buf, 1, pos)  # element type code
             children.append((int(ev[0]), None))
         col_meta.append((tc, cname, children))
@@ -866,6 +976,14 @@ def _decode_layer(buf: bytes, pos: int, end: int, columns: set[str] | None = Non
             props[cname] = values
         elif tc & ~1 == TC_MAP:
             values, pos = _decode_map_column(buf, pos, bool(tc & 1))
+            props[cname] = values
+        elif tc & ~1 in (TC_VEC2, TC_VEC3):
+            dims = 3 if tc & ~1 == TC_VEC3 else 2
+            elem = _CODE_TO_SCALAR[children[0][0] & ~1]
+            values, pos = _decode_vec_column(buf, pos, bool(tc & 1), elem, dims)
+            props[cname] = values
+        elif tc & ~1 == TC_RANGE_MAP:
+            values, pos = _decode_range_map_column(buf, pos, bool(tc & 1))
             props[cname] = values
         else:
             scalar = _CODE_TO_SCALAR[tc & ~1]
@@ -925,6 +1043,50 @@ def _decode_list_column(buf: bytes, pos: int, nullable: bool, elem: str) -> tupl
     else:
         flat, pos = _decode_scalar_column(buf, pos, elem, nullable=False)
     return _reassemble_collections(present, np.asarray(lengths), list(flat), list), pos
+
+
+def _decode_vec_column(
+    buf: bytes, pos: int, nullable: bool, elem: str, dims: int
+) -> tuple[list, int]:
+    present = None
+    if nullable:
+        present, pos = _decode_boolean_stream(buf, pos)
+    if elem in ("int32", "int64"):
+        m, pos = K.unpack_stream_metadata(buf, pos)
+        flat, pos = _decode_int_stream_with_meta(
+            buf, pos, m, signed=True, bits=64 if elem == "int64" else 32
+        )
+        flat = flat.tolist()
+    else:
+        arr, pos = _decode_f64_stream(buf, pos)
+        flat = arr.tolist()
+    vecs = [tuple(flat[i : i + dims]) for i in range(0, len(flat), dims)]
+    if present is None:
+        return vecs, pos
+    out = []
+    k = 0
+    for p in present:
+        if p:
+            out.append(vecs[k])
+            k += 1
+        else:
+            out.append(None)
+    return out, pos
+
+
+def _decode_range_map_column(buf: bytes, pos: int, nullable: bool) -> tuple[list, int]:
+    present = None
+    if nullable:
+        present, pos = _decode_boolean_stream(buf, pos)
+    m, pos = K.unpack_stream_metadata(buf, pos)
+    lengths, pos = _decode_int_stream_with_meta(buf, pos, m, signed=False, bits=32)
+    ranges, pos = _decode_f64_stream(buf, pos)
+    v, pos = K.varint_decode(buf, 1, pos)
+    vals, pos = _decode_string_column(buf, pos, int(v[0]), nullable=False)
+    flat = [
+        (float(ranges[2 * i]), float(ranges[2 * i + 1]), vals[i]) for i in range(len(vals))
+    ]
+    return _reassemble_collections(present, np.asarray(lengths), flat, list), pos
 
 
 def _decode_map_column(buf: bytes, pos: int, nullable: bool) -> tuple[list, int]:

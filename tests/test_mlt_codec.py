@@ -550,3 +550,52 @@ class TestListMapColumns:
         )
         blob = C.encode_layer(la)
         assert C.reencode_tile(blob, fixture_rules=False) == blob
+
+
+class TestVecAndRangeMap:
+    """Remaining spec complex/logical types: fixed-size VEC_2/VEC_3 and
+    RANGE_MAP (linear referencing) — spec-beyond-reference coverage."""
+
+    def _layer(self, **kw):
+        import numpy as np
+
+        g = C.GeometryColumn(
+            types=np.zeros(4, dtype=np.int64),
+            num_geometries=np.empty(0, np.int64),
+            num_parts=np.empty(0, np.int64),
+            num_rings=np.empty(0, np.int64),
+            vertices=np.arange(8, dtype=np.int64),
+        )
+        return C.LayerData(name="l", extent=4096, geometry=g,
+                           ids=np.arange(4, dtype=np.int64), **kw)
+
+    def test_vec2_int_roundtrip_with_nulls(self):
+        vals = [(1, -2), None, (300000, 7), (0, 0)]
+        la = self._layer(vecs=[C.VecColumn("disp", "int32", vals)])
+        out = C.decode_tile(C.encode_layer(la))[0]
+        assert out.props["disp"] == vals
+
+    def test_vec3_double_roundtrip(self):
+        vals = [(1.5, -2.25, 3.0), (0.0, 1e300, -4.5), (9.0, 8.0, 7.0), (1.0, 2.0, 3.0)]
+        la = self._layer(vecs=[C.VecColumn("v3", "double", vals, dims=3, nullable=False)])
+        out = C.decode_tile(C.encode_layer(la))[0]
+        assert out.props["v3"] == vals  # f64 exact, no f32 coercion
+
+    def test_range_map_roundtrip_with_nulls(self):
+        vals = [
+            [(0.0, 0.5, "paved"), (0.5, 1.0, "gravel")],
+            None,
+            [],
+            [(0.25, 0.75, "bridge")],
+        ]
+        la = self._layer(range_maps=[C.RangeMapColumn("surface", vals)])
+        out = C.decode_tile(C.encode_layer(la))[0]
+        assert out.props["surface"] == vals
+
+    def test_transcode_preserves_vec_rangemap_bytes(self):
+        la = self._layer(
+            vecs=[C.VecColumn("disp", "int32", [(1, 2), (3, 4), None, (5, 6)])],
+            range_maps=[C.RangeMapColumn("rm", [[(0.0, 1.0, "x")], None, [], [(0.5, 0.6, "y")]])],
+        )
+        blob = C.encode_layer(la)
+        assert C.reencode_tile(blob, fixture_rules=False) == blob
