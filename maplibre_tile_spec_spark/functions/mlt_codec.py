@@ -39,6 +39,11 @@ MLT_POINT, MLT_LINESTRING, MLT_POLYGON, MLT_MULTIPOINT, MLT_MULTILINESTRING, MLT
 
 # type codes (MltTypeMap.Tag0x01)
 TC_ID_U32, TC_ID_U32_NULL, TC_ID_U64, TC_ID_U64_NULL, TC_GEOMETRY = 0, 1, 2, 3, 4
+# GEOMETRY_Z (spec ComplexType GEOMETRY_Z=3, vec3<int32>): code 5 is
+# unassigned in the reference's MltTypeMap — the natural slot next to
+# GEOMETRY. Layout = the standard geometry streams + one trailing signed
+# z data stream (one value per vertex).
+TC_GEOMETRY_Z = 5
 TC_STRUCT = 30
 # spec complex types the reference's shipping encoder never emits
 # (specification.md LIST=4 / MAP=5 under the COMPLEX_TYPE flag); framed here
@@ -89,6 +94,7 @@ class GeometryColumn:
     num_parts: np.ndarray
     num_rings: np.ndarray
     vertices: np.ndarray  # interleaved int32 [x0,y0,x1,y1,...]
+    z: np.ndarray | None = None  # per-vertex elevations → GEOMETRY_Z column
 
 
 @dataclass
@@ -688,12 +694,19 @@ def encode_layer(layer: LayerData) -> bytes:
         meta += _varint1(TC_ID_U64 if layer.has_long_ids else TC_ID_U32)
         ids = np.asarray(layer.ids, dtype=np.int64)
         body += _int_stream(ids, False, K.PST_DATA, DT_NONE, bits=64 if layer.has_long_ids else 32)
-    meta += _varint1(TC_GEOMETRY)
+    has_z = layer.geometry.z is not None
+    meta += _varint1(TC_GEOMETRY_Z if has_z else TC_GEOMETRY)
     if layer.tessellate:
+        if has_z:
+            raise ValueError("GEOMETRY_Z with pretessellation is not supported")
         n_geo_streams, geo_bytes = encode_geometry_column_pretessellated(layer.geometry)
     else:
         n_geo_streams, geo_bytes = encode_geometry_column(layer.geometry)
     body += _varint1(n_geo_streams) + geo_bytes
+    if has_z:
+        body += _int_stream(
+            np.asarray(layer.geometry.z, dtype=np.int64), True, K.PST_DATA, DT_NONE, bits=32
+        )
     for col in layer.props:
         meta += _varint1(_SCALAR_CODES[col.type] + (1 if col.nullable else 0)) + _put_string(col.name)
         body += encode_prop_column(col)
@@ -845,8 +858,8 @@ def _reencode_layer(buf: bytes, pos: int, end: int, use_fsst: bool, fixture_rule
             if present is not None:
                 body += _boolean_stream(present, K.PST_PRESENT)
             body += _int_stream(np.asarray(ids, dtype=np.int64), False, K.PST_DATA, DT_NONE, bits=bits)
-        elif tc == TC_GEOMETRY:
-            meta += _varint1(TC_GEOMETRY)
+        elif tc in (TC_GEOMETRY, TC_GEOMETRY_Z):
+            meta += _varint1(tc)
             v, pos = K.varint_decode(buf, 1, pos)
             g, triangles, _index_buffer, pos = _decode_geometry_column(buf, pos, int(v[0]))
             if triangles is not None:
@@ -858,6 +871,12 @@ def _reencode_layer(buf: bytes, pos: int, end: int, use_fsst: bool, fixture_rule
             else:
                 n_geo, geo = encode_geometry_column(g)
             body += _varint1(n_geo) + geo
+            if tc == TC_GEOMETRY_Z:
+                m, pos = K.unpack_stream_metadata(buf, pos)
+                zvals, pos = _decode_int_stream_with_meta(buf, pos, m, signed=True, bits=32)
+                body += _int_stream(
+                    np.asarray(zvals, dtype=np.int64), True, K.PST_DATA, DT_NONE, bits=32
+                )
         elif tc == TC_STRUCT:
             meta += _varint1(TC_STRUCT) + _put_string(cname)
             meta += _varint1(len(children))
@@ -964,9 +983,13 @@ def _decode_layer(buf: bytes, pos: int, end: int, columns: set[str] | None = Non
             meta, pos = K.unpack_stream_metadata(buf, pos)
             bits = 64 if tc >= TC_ID_U64 else 32
             ids, pos = _decode_int_stream_with_meta(buf, pos, meta, signed=False, bits=bits)
-        elif tc == TC_GEOMETRY:
+        elif tc in (TC_GEOMETRY, TC_GEOMETRY_Z):
             v, pos = K.varint_decode(buf, 1, pos)
             geometry, triangles, index_buffer, pos = _decode_geometry_column(buf, pos, int(v[0]))
+            if tc == TC_GEOMETRY_Z:
+                m, pos = K.unpack_stream_metadata(buf, pos)
+                zvals, pos = _decode_int_stream_with_meta(buf, pos, m, signed=True, bits=32)
+                geometry.z = np.asarray(zvals, dtype=np.int64)
         elif tc == TC_STRUCT:
             props_struct, pos = _decode_shared_dict_struct(buf, pos, cname, children)
             props.update(props_struct)

@@ -599,3 +599,41 @@ class TestVecAndRangeMap:
         )
         blob = C.encode_layer(la)
         assert C.reencode_tile(blob, fixture_rules=False) == blob
+
+
+class TestGeometryZ:
+    """GEOMETRY_Z (spec ComplexType vec3<int32>): standard geometry streams
+    + trailing per-vertex signed z stream, type code 5 (unassigned in the
+    reference's MltTypeMap — the slot next to GEOMETRY)."""
+
+    def _layer(self, z):
+        import numpy as np
+
+        g = C.GeometryColumn(
+            types=np.zeros(4, dtype=np.int64),
+            num_geometries=np.empty(0, np.int64),
+            num_parts=np.empty(0, np.int64),
+            num_rings=np.empty(0, np.int64),
+            vertices=np.array([0, 0, 10, 12, 100, 90, 7, 3], dtype=np.int64),
+            z=np.asarray(z, dtype=np.int64) if z is not None else None,
+        )
+        return C.LayerData(name="l", extent=4096, geometry=g,
+                           ids=np.arange(4, dtype=np.int64))
+
+    def test_z_roundtrip(self):
+        z = [-5, 0, 1200, 33]
+        la = self._layer(z)
+        out = C.decode_tile(C.encode_layer(la))[0]
+        assert out.geometry.z is not None
+        assert out.geometry.z.tolist() == z
+        assert out.geometry.vertices.tolist() == la.geometry.vertices.tolist()
+
+    def test_no_z_keeps_plain_geometry_code(self):
+        la = self._layer(None)
+        blob = C.encode_layer(la)
+        out = C.decode_tile(blob)[0]
+        assert out.geometry.z is None
+
+    def test_transcode_preserves_z_bytes(self):
+        blob = C.encode_layer(self._layer([1, 2, 3, 4]))
+        assert C.reencode_tile(blob, fixture_rules=False) == blob
