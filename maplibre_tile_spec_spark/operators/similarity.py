@@ -240,3 +240,101 @@ def ann_lsh_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second scale path the brief names
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int = 64,
+    sample_n: int = 4096,
+    iters: int = 8,
+    cid_col: str = "cid",
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer trained on a DETERMINISTIC sample
+    (lowest xxhash64 of the id — partition-independent), driver-side numpy.
+    The sample and the centroid matrix are dimension-sized (≤ sample_n×dim
+    floats), the one justified collect in this operator — same pattern as
+    the polygon-cover broadcast in spatial.py."""
+    samp = (
+        corpus.select(cid_col, "embedding")
+        .withColumn("_h", F.xxhash64(F.col(cid_col).cast("string")))
+        .orderBy("_h")
+        .limit(sample_n)
+    )
+    X = np.array([list(r.embedding) for r in samp.collect()], dtype=np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True) + 1e-12
+    n_cells = min(n_cells, X.shape[0])
+    cents = X[:n_cells].copy()
+    for _ in range(iters):
+        assign = (X @ cents.T).argmax(axis=1)
+        for j in range(n_cells):
+            m = assign == j
+            if m.any():
+                v = X[m].sum(axis=0)
+                cents[j] = v / (np.linalg.norm(v) + 1e-12)
+    return cents
+
+
+def _assign_cells(df: DataFrame, cents: np.ndarray, id_col: str, n_probe: int) -> DataFrame:
+    """(id, embedding) → (id, cell, embedding) rows: nearest centroid for
+    corpus rows (n_probe=1) or the n_probe nearest cells for queries.
+    One Arrow batch at a time; the centroid matrix ships in the closure."""
+
+    def ac(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            Xn = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
+            sims = Xn @ cents.T
+            if n_probe == 1:
+                cells = sims.argmax(axis=1)[:, None]
+            else:
+                cells = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+            ids = pdf[id_col].to_numpy()
+            emb = pdf["embedding"].tolist()
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, cells.shape[1]),
+                    "cell": cells.ravel().astype(np.int32),
+                    "embedding": [e for e in emb for _ in range(cells.shape[1])],
+                }
+            )
+
+    return df.mapInPandas(ac, schema=f"{id_col} long, cell int, embedding array<float>")
+
+
+def ann_ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 64,
+    n_probe: int = 8,
+    qid_col: str = "qid",
+    cid_col: str = "cid",
+) -> DataFrame:
+    """IVF ANN: coarse-quantize the corpus into inverted cells, probe each
+    query's n_probe nearest cells, exact cosine re-rank inside the probed
+    cells. The CELL is the shuffle key — at 10^12 rows each bucket holds
+    ~corpus/n_cells rows and the candidate set per query is
+    n_probe/n_cells of the corpus, vs O(n·q) brute force. Deterministic
+    end-to-end (hash-ordered sample, fixed Lloyd iterations)."""
+    cents = ivf_centroids(corpus, n_cells, cid_col=cid_col)
+    c_cells = _assign_cells(corpus.select(cid_col, "embedding"), cents, cid_col, 1)
+    q_cells = _assign_cells(queries.select(qid_col, "embedding"), cents, qid_col, n_probe)
+    cand = c_cells.alias("c").join(q_cells.alias("q"), "cell").filter(
+        F.col(f"q.{qid_col}") != F.col(f"c.{cid_col}")
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.col("cos").desc(), F.col(cid_col).asc())
+    return (
+        cand.select(
+            F.col(f"q.{qid_col}").alias(qid_col),
+            F.col(f"c.{cid_col}").alias(cid_col),
+            cosine(F.col("q.embedding"), F.col("c.embedding")).alias("cos"),
+        )
+        .distinct()  # a (q,c) pair can meet in several probed cells
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

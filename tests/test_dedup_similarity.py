@@ -204,3 +204,47 @@ class TestStorageRelease:
         for o in outs:
             o.unpersist()
         assert sc.getPersistentRDDs().size() <= baseline
+
+
+class TestIvfAnn:
+    @pytest.fixture(scope="class")
+    def emb(self, spark, sf_dir):
+        return tables.load(spark, sf_dir, "embeddings").cache()
+
+    @staticmethod
+    def _clustered(spark, n=600, n_clusters=20, dim=32, noise=0.25):
+        """Deterministic clustered vectors — the workload IVF exists for
+        (the sf embeddings are uniform on the sphere, where NO coarse
+        quantizer can localize neighbors; real embedding spaces cluster)."""
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        cents = rng.randn(n_clusters, dim)
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+        rows = []
+        for i in range(n):
+            v = cents[i % n_clusters] + noise * rng.randn(dim)
+            rows.append((i, [float(x) for x in v]))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_ivf_recall_vs_bruteforce(self, spark):
+        emb = self._clustered(spark)
+        q = emb.filter(F.col("vec_id") < 30).select(F.col("vec_id").alias("qid"), "embedding")
+        c = emb.select(F.col("vec_id").alias("cid"), "embedding")
+        exact = {(r.qid, r.cid) for r in similarity.cosine_topk_bruteforce(q, c, k=3).collect()}
+        approx = {
+            (r.qid, r.cid)
+            for r in similarity.ann_ivf_topk(q, c, k=3, n_cells=16, n_probe=4).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.9, f"IVF recall too low: {recall}"
+
+    def test_ivf_determinism_across_partitioning(self, spark, emb):
+        q = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("qid"), "embedding")
+        c = emb.select(F.col("vec_id").alias("cid"), "embedding")
+        r1 = {(r.qid, r.cid, r.rank) for r in similarity.ann_ivf_topk(q, c, k=3).collect()}
+        r2 = {
+            (r.qid, r.cid, r.rank)
+            for r in similarity.ann_ivf_topk(q.repartition(7), c.repartition(5), k=3).collect()
+        }
+        assert r1 == r2
