@@ -80,16 +80,34 @@ def parse_wkt(wkt: str) -> tuple[int, np.ndarray, list[list[int]]]:
 
 
 def _split_level(text: str) -> list[str]:
-    """Split a WKT body on top-level commas (between balanced parens)."""
-    out, depth, start = [], 0, 0
-    for i, ch in enumerate(text):
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        elif ch == "," and depth == 0:
-            out.append(text[start:i])
-            start = i + 1
+    """Split a WKT body on top-level commas (between balanced parens).
+
+    Vectorized: WKT is ASCII, so byte offsets are char offsets — one
+    cumsum over paren codes finds depth-0 commas without a per-character
+    Python loop (this function dominated the tile-encode kernel)."""
+    try:
+        arr = np.frombuffer(text.encode("ascii"), dtype=np.uint8)
+    except UnicodeEncodeError:  # non-ASCII: byte offsets ≠ char offsets
+        out, depth, start = [], 0, 0
+        for i, ch in enumerate(text):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                out.append(text[start:i])
+                start = i + 1
+        out.append(text[start:])
+        return out
+    depth = np.cumsum((arr == 40).view(np.int8) - (arr == 41).view(np.int8))
+    cuts = np.flatnonzero((arr == 44) & (depth == 0))
+    if cuts.shape[0] == 0:
+        return [text]
+    out = []
+    start = 0
+    for i in cuts.tolist():
+        out.append(text[start:i])
+        start = i + 1
     out.append(text[start:])
     return out
 
