@@ -66,6 +66,14 @@ _SCALAR_CODES = {
     "string": 28,
 }
 _CODE_TO_SCALAR = {v: k for k, v in _SCALAR_CODES.items()}
+# logical scalar types (spec LogicalScalarType: TIMESTAMP=0, DATE=1, JSON=2;
+# "Date = int32 days since epoch, Timestamp = int64 ms, JSON = string").
+# The reference's Tag0x01 map has no codes for them (encodeColumnType
+# returns empty) — framed here above the scalar range, physical layout
+# delegated to the underlying scalar stream encoders.
+_LOGICAL_CODES = {"date": 44, "timestamp": 46, "json": 48}
+_CODE_TO_LOGICAL = {v: k for k, v in _LOGICAL_CODES.items()}
+_LOGICAL_PHYSICAL = {"date": "int32", "timestamp": "int64", "json": "string"}
 
 # LengthType ordinals
 LT_VAR_BINARY, LT_GEOMETRIES, LT_PARTS, LT_RINGS, LT_TRIANGLES, LT_SYMBOL, LT_DICTIONARY = range(7)
@@ -435,6 +443,10 @@ def encode_geometry_column_pretessellated(g: GeometryColumn) -> tuple[int, bytes
 
 
 def encode_prop_column(col: PropColumn) -> bytes:
+    if col.type in _LOGICAL_PHYSICAL:  # logical type → physical layout
+        col = PropColumn(
+            col.name, _LOGICAL_PHYSICAL[col.type], col.values, col.nullable, col.use_fsst
+        )
     present = np.array([v is not None for v in col.values])
     nn = [v for v in col.values if v is not None]
     out = b""
@@ -708,7 +720,8 @@ def encode_layer(layer: LayerData) -> bytes:
             np.asarray(layer.geometry.z, dtype=np.int64), True, K.PST_DATA, DT_NONE, bits=32
         )
     for col in layer.props:
-        meta += _varint1(_SCALAR_CODES[col.type] + (1 if col.nullable else 0)) + _put_string(col.name)
+        code = _LOGICAL_CODES.get(col.type) or _SCALAR_CODES[col.type]
+        meta += _varint1(code + (1 if col.nullable else 0)) + _put_string(col.name)
         body += encode_prop_column(col)
     for struct_col in layer.structs:
         meta += _varint1(TC_STRUCT) + _put_string(struct_col.name)
@@ -754,6 +767,8 @@ class DecodedLayer:
     props: dict[str, list]
     triangles: np.ndarray | None = None
     index_buffer: np.ndarray | None = None
+    # logical type per property where one applies (date/timestamp/json)
+    prop_types: dict[str, str] = field(default_factory=dict)
 
 
 def decode_tile(
@@ -916,7 +931,8 @@ def _reencode_layer(buf: bytes, pos: int, end: int, use_fsst: bool, fixture_rule
                 RangeMapColumn(cname, values, nullable=bool(tc & 1)), use_fsst=use_fsst
             )
         else:
-            scalar = _CODE_TO_SCALAR[tc & ~1]
+            logical = _CODE_TO_LOGICAL.get(tc & ~1)
+            scalar = _LOGICAL_PHYSICAL[logical] if logical else _CODE_TO_SCALAR[tc & ~1]
             nullable = bool(tc & 1)
             meta += _varint1(tc) + _put_string(cname)
             if scalar == "string":
@@ -975,6 +991,7 @@ def _decode_layer(buf: bytes, pos: int, end: int, columns: set[str] | None = Non
     triangles = None
     index_buffer = None
     props: dict[str, list] = {}
+    prop_types: dict[str, str] = {}
     for tc, cname, children in col_meta:
         if tc in (TC_ID_U32, TC_ID_U32_NULL, TC_ID_U64, TC_ID_U64_NULL):
             if tc & 1:  # nullable id: skip present stream
@@ -1009,7 +1026,12 @@ def _decode_layer(buf: bytes, pos: int, end: int, columns: set[str] | None = Non
             values, pos = _decode_range_map_column(buf, pos, bool(tc & 1))
             props[cname] = values
         else:
-            scalar = _CODE_TO_SCALAR[tc & ~1]
+            logical = _CODE_TO_LOGICAL.get(tc & ~1)
+            if logical is not None:
+                prop_types[cname] = logical
+                scalar = _LOGICAL_PHYSICAL[logical]
+            else:
+                scalar = _CODE_TO_SCALAR[tc & ~1]
             nullable = bool(tc & 1)
             wanted = columns is None or cname in columns
             if scalar == "string":
@@ -1032,7 +1054,7 @@ def _decode_layer(buf: bytes, pos: int, end: int, columns: set[str] | None = Non
                     continue
                 values, pos = _decode_scalar_column(buf, pos, scalar, nullable)
                 props[cname] = values
-    return DecodedLayer(name, extent, ids, geometry, props, triangles, index_buffer)
+    return DecodedLayer(name, extent, ids, geometry, props, triangles, index_buffer, prop_types)
 
 
 def _reassemble_collections(present, lengths: np.ndarray, flat: list, build) -> list:
@@ -1547,9 +1569,36 @@ def decode_tile_to_arrow(buf: bytes, layers: set[str] | None = None, columns: se
             )
         for k, v in la.props.items():
             if len(v) == n:
-                arrays[k] = pa.array(v)
+                arrays[k] = _prop_to_arrow(pa, v)
         out[la.name] = pa.RecordBatch.from_pydict(arrays)
     return out
+
+
+def _prop_to_arrow(pa, values: list):
+    """Property values → Arrow array, covering the complex column types
+    Arrow's inference can't guess: MAP columns (python dicts → pa.map_),
+    RANGE_MAP entries ((lo, hi, value) tuples → struct list), VEC_2/3
+    (fixed tuples → list array)."""
+    probe = next((x for x in values if x is not None), None)
+    if isinstance(probe, dict):
+        items = [list(d.items()) if d is not None else None for d in values]
+        return pa.array(items, type=pa.map_(pa.string(), pa.string()))
+    if isinstance(probe, tuple):  # vec2/vec3
+        return pa.array([list(t) if t is not None else None for t in values])
+    if isinstance(probe, list):  # find a non-empty list to type the elements
+        probe = next((x for x in values if x), probe)
+    if isinstance(probe, list) and probe and isinstance(probe[0], tuple):  # range map
+        conv = [
+            [{"lo": lo, "hi": hi, "value": val} for (lo, hi, val) in rs] if rs is not None else None
+            for rs in values
+        ]
+        return pa.array(
+            conv,
+            type=pa.list_(
+                pa.struct([("lo", pa.float64()), ("hi", pa.float64()), ("value", pa.string())])
+            ),
+        )
+    return pa.array(values)
 
 
 # ---------------------------------------------------------------------------

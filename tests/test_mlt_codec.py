@@ -637,3 +637,71 @@ class TestGeometryZ:
     def test_transcode_preserves_z_bytes(self):
         blob = C.encode_layer(self._layer([1, 2, 3, 4]))
         assert C.reencode_tile(blob, fixture_rules=False) == blob
+
+
+class TestArrowComplexTypes:
+    def test_arrow_decode_covers_complex_columns(self):
+        """decode_tile_to_arrow must produce typed Arrow arrays for the
+        complex column types inference can't guess (map, range-map, vec)."""
+        import numpy as np
+
+        g = C.GeometryColumn(
+            types=np.zeros(3, dtype=np.int64),
+            num_geometries=np.empty(0, np.int64),
+            num_parts=np.empty(0, np.int64),
+            num_rings=np.empty(0, np.int64),
+            vertices=np.arange(6, dtype=np.int64),
+        )
+        la = C.LayerData(
+            name="l", extent=4096, geometry=g, ids=np.arange(3, dtype=np.int64),
+            lists=[C.ListColumn("tags", "string", [["a"], None, ["b", "c"]])],
+            maps=[C.MapColumn("m", [{"k": "v"}, None, {}])],
+            vecs=[C.VecColumn("d", "int32", [(1, 2), None, (3, 4)])],
+            range_maps=[C.RangeMapColumn("rm", [[], None, [(0.0, 1.0, "x")]])],
+        )
+        batch = C.decode_tile_to_arrow(C.encode_layer(la))["l"]
+        d = batch.to_pydict()
+        assert d["tags"] == [["a"], None, ["b", "c"]]
+        assert d["m"] == [[("k", "v")], None, []]
+        assert d["d"] == [[1, 2], None, [3, 4]]
+        assert d["rm"][2] == [{"lo": 0.0, "hi": 1.0, "value": "x"}]
+        assert "map" in str(batch.schema.field("m").type)
+
+
+class TestLogicalScalarTypes:
+    """Spec LogicalScalarType (DATE=int32 days, TIMESTAMP=int64 ms,
+    JSON=string): logical codes over the physical scalar layouts — the
+    reference's Tag0x01 map has no codes for these (spec-beyond-reference)."""
+
+    def _layer(self, props):
+        import numpy as np
+
+        g = C.GeometryColumn(
+            types=np.zeros(3, dtype=np.int64),
+            num_geometries=np.empty(0, np.int64),
+            num_parts=np.empty(0, np.int64),
+            num_rings=np.empty(0, np.int64),
+            vertices=np.arange(6, dtype=np.int64),
+        )
+        return C.LayerData(name="l", extent=4096, geometry=g,
+                           ids=np.arange(3, dtype=np.int64), props=props)
+
+    def test_date_timestamp_json_roundtrip(self):
+        la = self._layer([
+            C.PropColumn("d", "date", [19000, None, 20000]),
+            C.PropColumn("ts", "timestamp", [1700000000000, 0, None]),
+            C.PropColumn("j", "json", ['{"a":1}', None, "[]"]),
+        ])
+        out = C.decode_tile(C.encode_layer(la))[0]
+        assert out.props["d"] == [19000, None, 20000]
+        assert out.props["ts"] == [1700000000000, 0, None]
+        assert out.props["j"] == ['{"a":1}', None, "[]"]
+        assert out.prop_types == {"d": "date", "ts": "timestamp", "j": "json"}
+
+    def test_transcode_preserves_logical_bytes(self):
+        la = self._layer([
+            C.PropColumn("d", "date", [1, 2, 3], nullable=False),
+            C.PropColumn("j", "json", ["{}", "[]", "1"]),
+        ])
+        blob = C.encode_layer(la)
+        assert C.reencode_tile(blob, fixture_rules=False) == blob
