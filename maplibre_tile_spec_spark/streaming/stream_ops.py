@@ -108,3 +108,35 @@ def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "ap
     )
     q.processAllAvailable()
     return q
+
+
+def streaming_encode_tiles(
+    features_stream: DataFrame,
+    sink_path: str,
+    checkpoint_path: str,
+    zoom: int = 7,
+    salt_target: int = 20_000,
+):
+    """Streaming MLT tile assembly: a features stream drives the SAME batch
+    ``encode_tiles`` kernel through ``foreachBatch`` — each micro-batch
+    becomes one idempotent parquet append of fully-encoded tiles (z, x, y,
+    n_features, n_vertices, byte_size, tile, batch_id). Spark's streaming
+    checkpoint gives exactly-once batch replay; the per-batch tile tables
+    are unioned downstream by the pyramid/merge operators exactly like
+    salted parts. Returns the started StreamingQuery."""
+    from maplibre_tile_spec_spark.operators import tiler
+
+    def process(batch_df: DataFrame, batch_id: int):
+        out = tiler.encode_tiles(batch_df, zoom=zoom, n_salt="auto", salt_target=salt_target)
+        (
+            out.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(sink_path)
+        )
+
+    return (
+        features_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -206,3 +206,35 @@ class TestRealFormats:
     def test_compressed_formats_still_stubbed(self):
         with pytest.raises(NotImplementedError):
             MM._parse_header(b"\x89PNG\r\n\x1a\n" + bytes(32))
+
+
+class TestStreamingTileEncode:
+    def test_streaming_encode_equals_batch(self, spark, tmp_path):
+        """The streaming path drives the identical batch kernel per
+        micro-batch; tile membership aggregated across batches must equal
+        the one-shot batch encode."""
+        from maplibre_tile_spec_spark.operators import features as FE, tiler
+
+        docs = synth.synthesize_documents(spark, 200, seed=42)
+        feats = FE.extract_features(docs).cache()
+        src_dir, sink, ckpt = str(tmp_path / "src"), str(tmp_path / "sink"), str(tmp_path / "ck")
+        feats.repartition(3).write.parquet(src_dir)
+        stream = spark.readStream.schema(feats.schema).option("maxFilesPerTrigger", 1).parquet(src_dir)
+        q = stream_ops.streaming_encode_tiles(stream, sink, ckpt, zoom=6)
+        q.awaitTermination(120)
+        got = (
+            spark.read.parquet(sink)
+            .groupBy("z", "x", "y")
+            .agg(F.sum("n_features").alias("nf"))
+            .collect()
+        )
+        expected = {
+            (r.z, r.x, r.y): r.n_features
+            for r in tiler.encode_tiles(feats, zoom=6).collect()
+        }
+        assert {(r.z, r.x, r.y): r.nf for r in got} == expected
+        # every per-batch tile blob decodes cleanly
+        import maplibre_tile_spec_spark.functions.mlt_codec as C
+
+        row = spark.read.parquet(sink).first()
+        assert C.decode_tile(bytes(row.tile))
