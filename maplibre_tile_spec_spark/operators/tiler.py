@@ -317,6 +317,9 @@ def encode_tiles_clipped(
         )
     )
     tiled = _with_salt(tiled, n_salt, salt_target)
+    # fine-grained exchange, same reasoning as encode_tiles
+    fan = tiled.sparkSession.sparkContext.defaultParallelism * 4
+    tiled = tiled.repartition(fan, "x", "y", "salt")
 
     lo, hi = float(-buffer), float(extent + buffer)
 

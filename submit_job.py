@@ -26,7 +26,12 @@ def main() -> None:
     ap.add_argument("--input", required=True, help="parquet path or iceberg:<table>")
     ap.add_argument("--output", required=True)
     ap.add_argument("--zoom", type=int, default=8)
-    ap.add_argument("--n-salt", type=int, default=4)
+    ap.add_argument(
+        "--n-salt",
+        default="auto",
+        type=lambda s: s if s == "auto" else int(s),
+        help="hot-tile fan-out: 'auto' (per-tile counts) or a fixed integer",
+    )
     ap.add_argument("--n-batches", type=int, default=8)
     ap.add_argument("--synthesize", type=int, default=0, help="generate N docs into --input first")
     args = ap.parse_args()

@@ -137,20 +137,18 @@ class TestClippedTiler:
         assert len(rows) == 4  # straddles all four z1 tiles
         from maplibre_tile_spec_spark.functions import clip as CL
 
-        total = 0.0
+        areas = []
         for r in rows:
             for la in C.decode_tile(bytes(r.tile)):
                 feats_ = C.geometry_to_features(la.geometry)
                 for _gt, parts in feats_:
                     for rings in parts:
-                        total += CL.ring_area(rings[0][:-1].astype(float))
-        # mercator-projected square spans equal area in all 4 tiles; total in
-        # extent² units: (width_frac*4096)² summed — just assert consistency
-        one = CL.ring_area(
-            C.geometry_to_features(C.decode_tile(bytes(rows[0].tile))[0].geometry)[0][1][0][0][:-1].astype(float)
-        )
-        assert np.isclose(total, 4 * one, rtol=1e-3)  # int flooring per tile
-        assert one > 0
+                        areas.append(CL.ring_area(rings[0][:-1].astype(float)))
+        # mercator-projected square spans equal area in all 4 tiles up to
+        # integer flooring (±1 extent unit per edge ≈ <2%); order-insensitive
+        assert len(areas) == 4
+        assert min(areas) > 0
+        assert max(areas) / min(areas) < 1.02
 
 
 class TestSkewBalance:
