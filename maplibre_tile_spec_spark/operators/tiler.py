@@ -219,8 +219,7 @@ def encode_tiles(
     fan = tiled.sparkSession.sparkContext.defaultParallelism * 4
     tiled = tiled.repartition(fan, "x", "y", "salt")
 
-    def encode_group(key, pdf):
-        x, y, _salt = int(key[0]), int(key[1]), int(key[2])
+    def encode_group(x: int, y: int, pdf: pd.DataFrame) -> tuple:
         pdf = pdf.sort_values(["_layer", "doc_id", "span_offset"], ignore_index=True)
         part = b""
         n_vertices = 0
@@ -243,17 +242,25 @@ def encode_tiles(
             )
             part += C.encode_layer(layer)
             n_vertices += g.vertices.shape[0] // 2
-        return pd.DataFrame(
-            {
-                "x": [x],
-                "y": [y],
-                "n_features": [len(pdf)],
-                "n_vertices": [n_vertices],
-                "part": [part],
-            }
-        )
+        return (x, y, len(pdf), n_vertices, part)
 
-    parts = tiled.groupBy("x", "y", "salt").applyInPandas(encode_group, schema=TILE_SCHEMA)
+    def encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one pandas frame per PARTITION, groups separated with a single
+        # in-process groupby: Spark's per-group applyInPandas pays Arrow
+        # serialization + UDF dispatch per group, which dominates when tiles
+        # are small (measured 2× on a 10k-tile corpus); the repartition
+        # above already co-located each (x, y, salt) group in one partition
+        frames = list(batches)
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        rows = [
+            encode_group(int(x), int(y), grp)
+            for (x, y, _salt), grp in pdf.groupby(["x", "y", "salt"], sort=False)
+        ]
+        yield pd.DataFrame(rows, columns=["x", "y", "n_features", "n_vertices", "part"])
+
+    parts = tiled.mapInPandas(encode_partition, schema=TILE_SCHEMA)
 
     merged = (
         parts.groupBy("x", "y")
