@@ -2,8 +2,10 @@
 
 The reference encodes one tile per process iteration
 (java/mlt-cli/.../Encode.java:538-560); here the same per-tile computation is
-a ``groupBy(x, y).applyInPandas`` kernel running in parallel across
-executors, with **adaptive salt fan-out for hot tiles**: each tile's salt
+an Arrow-batched per-partition kernel (explicit repartition on the group
+keys + ``mapInPandas`` with one in-process groupby — per-group
+``applyInPandas`` dispatch cost 2× on small-tile corpora) running in
+parallel across executors, with **adaptive salt fan-out for hot tiles**: each tile's salt
 count derives from its own feature count (``n_salt="auto"``, the default —
 a cheap pre-aggregate joined back), so dense urban tiles split into
 bounded sub-groups, each encoded as an independent FeatureTable block and
