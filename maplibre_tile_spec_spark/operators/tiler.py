@@ -332,8 +332,7 @@ def encode_tiles_clipped(
 
     lo, hi = float(-buffer), float(extent + buffer)
 
-    def encode_group(key, pdf):
-        x, y, _salt = int(key[0]), int(key[1]), int(key[2])
+    def encode_group(x, y, pdf):
         pdf = pdf.sort_values(["doc_id", "span_offset"], ignore_index=True)
         types, num_geoms, num_parts, num_rings = [], [], [], []
         vert_chunks: list[np.ndarray] = []
@@ -420,9 +419,7 @@ def encode_tiles_clipped(
                         push(r)
                 n_feat += 1
         if n_feat == 0:
-            return pd.DataFrame({"x": [], "y": [], "n_features": [], "n_vertices": [], "part": []}).astype(
-                {"x": "int32", "y": "int32", "n_features": "int64", "n_vertices": "int64"}
-            )
+            return None
         g = C.GeometryColumn(
             types=np.array(types, dtype=np.int64),
             num_geometries=np.array(num_geoms, dtype=np.int64),
@@ -433,11 +430,24 @@ def encode_tiles_clipped(
         part = C.encode_layer(
             C.LayerData(name=layer_name, extent=extent, geometry=g, ids=np.arange(n_feat, dtype=np.int64))
         )
-        return pd.DataFrame(
-            {"x": [x], "y": [y], "n_features": [n_feat], "n_vertices": [g.vertices.shape[0] // 2], "part": [part]}
-        )
+        return (x, y, n_feat, g.vertices.shape[0] // 2, part)
 
-    parts = tiled.groupBy("x", "y", "salt").applyInPandas(encode_group, schema=TILE_SCHEMA)
+    def encode_partition(batches):
+        # per-partition grouping (see encode_tiles: per-group applyInPandas
+        # dispatch dominates on small tiles; repartition co-located groups)
+        frames = list(batches)
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        rows = []
+        for (x, y, _salt), grp in pdf.groupby(["x", "y", "salt"], sort=False):
+            r = encode_group(int(x), int(y), grp)
+            if r is not None:
+                rows.append(r)
+        if rows:
+            yield pd.DataFrame(rows, columns=["x", "y", "n_features", "n_vertices", "part"])
+
+    parts = tiled.mapInPandas(encode_partition, schema=TILE_SCHEMA)
     return (
         parts.groupBy("x", "y")
         .agg(
