@@ -168,6 +168,13 @@ def run_bench(cpus: int, sf_dir: str, scaling_only: bool = False) -> dict:
         pipeline = second
     timings: dict[str, float] = {"docs_pipeline": pipeline["elapsed_sec"]}
     if not scaling_only:
+        # untimed heavy warmup (r3 finding: the first heavy Python-worker
+        # query absorbed JVM/worker-fleet cold start — minhash printed
+        # 10.0 s in the driver bench vs 4.3 s on a controlled warm re-run;
+        # one throwaway run of that same query warms the worker pool, the
+        # documents parquet page cache, and heavy codegen paths)
+        _force(QUERIES["minhash_lsh_pairs"](spark, sf_dir))
+        spark.catalog.clearCache()
         # best-of-2 per cell: this host shows 2-4x noise spikes, and r2's
         # single-run cells produced phantom regressions (ngram recorded
         # 43 s vs 9-18 s on controlled re-runs). Two runs bound the damage.
@@ -198,7 +205,24 @@ def run_bench(cpus: int, sf_dir: str, scaling_only: bool = False) -> dict:
 
 SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "1000000"))
 SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))  # N vs 4N cores
-SCALE_RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "4"))
+SCALE_RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "8"))
+
+
+def _host_probe() -> dict:
+    """Per-pair host-load covariate (r3 verdict ask): a single-process CPU
+    burn timed + the 1-min loadavg, sampled immediately before each child
+    run. External tenants on this shared box show up as a slower burn /
+    higher loadavg, letting a reader attribute low pair ratios to
+    contention instead of the engine."""
+    t0 = time.perf_counter()
+    _burn(0)
+    burn_s = time.perf_counter() - t0
+    try:
+        with open("/proc/loadavg") as f:
+            la = float(f.read().split()[0])
+    except OSError:
+        la = -1.0
+    return {"burn_sec": round(burn_s, 4), "loadavg1": la}
 
 
 def _raw_cpu_rate(workers: int) -> float:
@@ -252,10 +276,13 @@ def run_scaling() -> dict:
     results: dict[int, dict] = {}
     rates: dict[int, list] = {lo: [], hi: []}
     ratios: list[float] = []
+    probes: list[dict] = []
     env = dict(os.environ, SPARK_GRAFT_DOCS=str(SCALE_DOCS))
     for _ in range(SCALE_RUNS):
         pair = {}
+        pair_probe: dict[str, dict] = {}
         for cpus in (lo, hi):
+            pair_probe[f"local[{cpus}]"] = _host_probe()
             r = _scaling_child(cpus, env)
             rate = r["docs_pipeline"]["docs_per_sec"]
             rates[cpus].append(rate)
@@ -263,6 +290,7 @@ def run_scaling() -> dict:
             if cpus not in results or rate > results[cpus]["docs_pipeline"]["docs_per_sec"]:
                 results[cpus] = r
         ratios.append((pair[hi] / pair[lo]) / (hi / lo))
+        probes.append(pair_probe)
     import statistics
 
     # two estimators, both recorded:
@@ -275,6 +303,18 @@ def run_scaling() -> dict:
     #   noise-crushed pairs, recorded alongside
     eff = (max(rates[hi]) / max(rates[lo])) / (hi / lo)
     eff_median_pairs = statistics.median(ratios)
+    # contention-screened median: keep pairs whose pre-run burn probes were
+    # within 25% of the quietest probe of the session (both levels) — pairs
+    # started under visible external load are excluded, with the covariate
+    # recorded so the exclusion is auditable rather than silent
+    all_burns = [p[k]["burn_sec"] for p in probes for k in p]
+    burn_floor = min(all_burns) if all_burns else 0.0
+    clean_ratios = [
+        r
+        for r, p in zip(ratios, probes)
+        if all(p[k]["burn_sec"] <= 1.25 * burn_floor for k in p)
+    ]
+    eff_median_clean = statistics.median(clean_ratios) if len(clean_ratios) >= 3 else None
     t_lo = statistics.median(rates[lo])
     t_hi = statistics.median(rates[hi])
     # ceiling at the TRUE process counts (2 procs per Spark core: JVM task
@@ -295,7 +335,12 @@ def run_scaling() -> dict:
             "K paired lo,hi steady-state runs; median of per-pair ratios recorded alongside"
         ),
         "median_pair_efficiency": round(eff_median_pairs, 3),
+        "median_pair_efficiency_clean": (
+            round(eff_median_clean, 3) if eff_median_clean is not None else None
+        ),
+        "n_clean_pairs": len(clean_ratios),
         "pair_ratios": [round(x, 3) for x in ratios],
+        "pair_host_probes": probes,
         "throughput_docs_per_sec": {f"local[{lo}]": t_lo, f"local[{hi}]": t_hi},
         "all_runs_docs_per_sec": {f"local[{lo}]": rates[lo], f"local[{hi}]": rates[hi]},
         "tiles_per_sec": {

@@ -286,6 +286,9 @@ def _assign_cells(df: DataFrame, cents: np.ndarray, id_col: str, n_probe: int) -
 
     def ac(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if pdf.empty:
+                # np.array([]) is 1-D → axis-1 norm would raise (ADVICE r3)
+                continue
             X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
             Xn = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
             sims = Xn @ cents.T

@@ -76,13 +76,20 @@ def polygon_cover(
     return polys.mapInPandas(cover, schema=PIP_COVER_SCHEMA)
 
 
+#: polygon-count cutoff for the auto broadcast/co-located dispatch in
+#: :func:`pip_join`. 50k polygons × ~1 KiB parsed rings ≈ 50 MiB broadcast —
+#: comfortably under a 1 GiB driver heap slice; anything larger takes the
+#: join-side refine path that never collects geometry to the driver.
+PIP_BROADCAST_MAX_POLYS = 50_000
+
+
 def pip_join(
     points: DataFrame,
     polys: DataFrame,
     id_col: str = "pid",
     id_type: str = "string",
     levels: tuple[int, ...] = (4, 6, 8, 10, 12),
-    broadcast_polys: bool = True,
+    broadcast_polys: bool | str = "auto",
 ) -> DataFrame:
     """Exact point-in-polygon join → (id_col, poly_id).
 
@@ -90,7 +97,17 @@ def pip_join(
     Candidate generation is per-level equi-joins on grid cells (broadcast
     when the polygon side is dimension-sized); refinement is an exact
     ray-cast over Arrow batches, each polygon parsed once per batch.
+
+    ``broadcast_polys`` dispatch is **data-driven by default** ("auto"): a
+    cheap ``limit(threshold+1).count()`` probe (bounded work — Spark stops
+    scanning at threshold+1 rows, no full count) decides whether the polygon
+    side is dimension-sized. Small → driver-parsed broadcast rings; large →
+    co-located join + per-batch parse, so a 100-TB polygon side can never
+    OOM the driver via a forgotten flag. Pass True/False to force a branch.
     """
+    if broadcast_polys == "auto":
+        probe = polys.limit(PIP_BROADCAST_MAX_POLYS + 1).count()
+        broadcast_polys = probe <= PIP_BROADCAST_MAX_POLYS
     cover = polygon_cover(polys, levels=levels)
     if broadcast_polys:
         cover = F.broadcast(cover)

@@ -183,6 +183,44 @@ def _with_salt(tiled: DataFrame, n_salt: int | str, salt_target: int) -> DataFra
     return tiled.withColumn("salt", F.lit(0))
 
 
+def _iter_sorted_groups(
+    batches: Iterator[pd.DataFrame], keys: tuple[str, ...] = ("x", "y", "salt")
+) -> Iterator[tuple[tuple[int, ...], pd.DataFrame]]:
+    """Stream (key, group) pairs from Arrow batches that arrive **sorted by
+    ``keys``** (``sortWithinPartitions`` upstream). A group straddling a
+    batch boundary is stitched from its pending chunks; peak memory is one
+    group + one Arrow batch, not the whole partition — the JVM-side sort is
+    an ExternalSorter (spills), so the Python worker never has to hold a
+    partition-sized frame no matter the input size (ADVICE r3)."""
+    pending: list[pd.DataFrame] = []
+    pend_key: tuple[int, ...] | None = None
+
+    def flush() -> pd.DataFrame:
+        if len(pending) == 1:
+            return pending[0].reset_index(drop=True)
+        return pd.concat(pending, ignore_index=True)
+
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        kmat = pdf[list(keys)].to_numpy()
+        change = np.flatnonzero((kmat[1:] != kmat[:-1]).any(axis=1)) + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [len(pdf)]])
+        for s, e in zip(starts, ends):
+            key = tuple(int(v) for v in kmat[s])
+            if pend_key is not None and key != pend_key:
+                yield pend_key, flush()
+                pending = []
+            pend_key = key
+            pending.append(pdf.iloc[s:e])
+    if pending:
+        yield pend_key, flush()
+
+
+_ENCODE_FLUSH_ROWS = 256  # bound output-side buffering in the encode kernels
+
+
 def encode_tiles(
     features: DataFrame,
     zoom: int,
@@ -219,7 +257,11 @@ def encode_tiles(
     # groupBy distribution (no extra exchange) and AQE leaves explicit-N
     # repartitions alone, so the skew averages out across many small tasks.
     fan = tiled.sparkSession.sparkContext.defaultParallelism * 4
-    tiled = tiled.repartition(fan, "x", "y", "salt")
+    # sortWithinPartitions makes each (x, y, salt) group contiguous so the
+    # kernel can stream one group at a time (memory = group, not partition);
+    # the sort is JVM-side and spill-aware, and group-content order is
+    # irrelevant to the bytes (encode_group re-sorts by layer/doc/span)
+    tiled = tiled.repartition(fan, "x", "y", "salt").sortWithinPartitions("x", "y", "salt")
 
     def encode_group(x: int, y: int, pdf: pd.DataFrame) -> tuple:
         pdf = pdf.sort_values(["_layer", "doc_id", "span_offset"], ignore_index=True)
@@ -247,20 +289,20 @@ def encode_tiles(
         return (x, y, len(pdf), n_vertices, part)
 
     def encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # one pandas frame per PARTITION, groups separated with a single
-        # in-process groupby: Spark's per-group applyInPandas pays Arrow
-        # serialization + UDF dispatch per group, which dominates when tiles
-        # are small (measured 2× on a 10k-tile corpus); the repartition
-        # above already co-located each (x, y, salt) group in one partition
-        frames = list(batches)
-        if not frames:
-            return
-        pdf = pd.concat(frames, ignore_index=True)
-        rows = [
-            encode_group(int(x), int(y), grp)
-            for (x, y, _salt), grp in pdf.groupby(["x", "y", "salt"], sort=False)
-        ]
-        yield pd.DataFrame(rows, columns=["x", "y", "n_features", "n_vertices", "part"])
+        # whole-partition kernel, streamed group-at-a-time: Spark's
+        # per-group applyInPandas pays Arrow serialization + UDF dispatch
+        # per group, which dominates when tiles are small (measured 2× on a
+        # 10k-tile corpus); the sorted exchange above delivers each
+        # (x, y, salt) group contiguously so peak memory is one group
+        cols = ["x", "y", "n_features", "n_vertices", "part"]
+        rows = []
+        for (x, y, _salt), grp in _iter_sorted_groups(batches):
+            rows.append(encode_group(x, y, grp))
+            if len(rows) >= _ENCODE_FLUSH_ROWS:
+                yield pd.DataFrame(rows, columns=cols)
+                rows = []
+        if rows:
+            yield pd.DataFrame(rows, columns=cols)
 
     parts = tiled.mapInPandas(encode_partition, schema=TILE_SCHEMA)
 
@@ -326,9 +368,9 @@ def encode_tiles_clipped(
         )
     )
     tiled = _with_salt(tiled, n_salt, salt_target)
-    # fine-grained exchange, same reasoning as encode_tiles
+    # fine-grained sorted exchange, same reasoning as encode_tiles
     fan = tiled.sparkSession.sparkContext.defaultParallelism * 4
-    tiled = tiled.repartition(fan, "x", "y", "salt")
+    tiled = tiled.repartition(fan, "x", "y", "salt").sortWithinPartitions("x", "y", "salt")
 
     lo, hi = float(-buffer), float(extent + buffer)
 
@@ -433,19 +475,20 @@ def encode_tiles_clipped(
         return (x, y, n_feat, g.vertices.shape[0] // 2, part)
 
     def encode_partition(batches):
-        # per-partition grouping (see encode_tiles: per-group applyInPandas
-        # dispatch dominates on small tiles; repartition co-located groups)
-        frames = list(batches)
-        if not frames:
-            return
-        pdf = pd.concat(frames, ignore_index=True)
+        # streamed per-partition grouping (see encode_tiles: per-group
+        # applyInPandas dispatch dominates on small tiles; the sorted
+        # exchange delivers each group contiguously → group-sized memory)
+        cols = ["x", "y", "n_features", "n_vertices", "part"]
         rows = []
-        for (x, y, _salt), grp in pdf.groupby(["x", "y", "salt"], sort=False):
-            r = encode_group(int(x), int(y), grp)
+        for (x, y, _salt), grp in _iter_sorted_groups(batches):
+            r = encode_group(x, y, grp)
             if r is not None:
                 rows.append(r)
+            if len(rows) >= _ENCODE_FLUSH_ROWS:
+                yield pd.DataFrame(rows, columns=cols)
+                rows = []
         if rows:
-            yield pd.DataFrame(rows, columns=["x", "y", "n_features", "n_vertices", "part"])
+            yield pd.DataFrame(rows, columns=cols)
 
     parts = tiled.mapInPandas(encode_partition, schema=TILE_SCHEMA)
     return (

@@ -119,18 +119,25 @@ def streaming_encode_tiles(
 ):
     """Streaming MLT tile assembly: a features stream drives the SAME batch
     ``encode_tiles`` kernel through ``foreachBatch`` — each micro-batch
-    becomes one idempotent parquet append of fully-encoded tiles (z, x, y,
-    n_features, n_vertices, byte_size, tile, batch_id). Spark's streaming
-    checkpoint gives exactly-once batch replay; the per-batch tile tables
-    are unioned downstream by the pyramid/merge operators exactly like
-    salted parts. Returns the started StreamingQuery."""
+    becomes one idempotent parquet write of fully-encoded tiles (z, x, y,
+    n_features, n_vertices, byte_size, tile, batch_id). ``foreachBatch``
+    replay is at-least-once, so the sink is made idempotent per batch:
+    the write is ``partitionBy("batch_id")`` with dynamic partition
+    overwrite, so a replayed batch (failure between parquet commit and
+    streaming-checkpoint commit) **overwrites its own partition** instead
+    of appending a duplicate — downstream sums see each batch exactly
+    once. The per-batch tile tables are unioned downstream by the
+    pyramid/merge operators exactly like salted parts. Returns the started
+    StreamingQuery."""
     from maplibre_tile_spec_spark.operators import tiler
 
     def process(batch_df: DataFrame, batch_id: int):
         out = tiler.encode_tiles(batch_df, zoom=zoom, n_salt="auto", salt_target=salt_target)
         (
             out.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
             .parquet(sink_path)
         )
 
