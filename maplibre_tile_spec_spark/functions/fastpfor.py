@@ -130,9 +130,12 @@ def _encode_page(vals: np.ndarray, out: list[int]) -> None:
         for k in range(0, BLOCK_SIZE, 32):
             out.extend(_pack32(block[k : k + 32], b))
     out[header_pos] = len(out) - header_pos
+    # JavaFastPFOR records the UNPADDED container size and pads the bytes to
+    # a word boundary (FastPFOR.encodePage: bytesize = position() before the
+    # alignment loop); the decoder reads ceil(bytesize/4) words
+    out.append(len(byte_container))
     while len(byte_container) % 4 != 0:
         byte_container.append(0)
-    out.append(len(byte_container))
     for i in range(0, len(byte_container), 4):
         w = (
             (byte_container[i] << 24)
@@ -161,13 +164,14 @@ def _decode_page(words, pos: int, thissize: int, out: np.ndarray, outpos: int) -
     where_meta = int(words[pos])
     pos += 1
     inexcept = init + where_meta
-    bytesize = int(words[inexcept])
+    bytesize = int(words[inexcept])  # unpadded; container words are padded
     inexcept += 1
     bc = bytearray()
-    for i in range(bytesize // 4):
+    nwords_bc = (bytesize + 3) // 4
+    for i in range(nwords_bc):
         w = int(words[inexcept + i])
         bc += bytes([(w >> 24) & 0xFF, (w >> 16) & 0xFF, (w >> 8) & 0xFF, w & 0xFF])
-    inexcept += bytesize // 4
+    inexcept += nwords_bc
     bitmap = int(words[inexcept])
     inexcept += 1
     packed: dict[int, np.ndarray] = {}

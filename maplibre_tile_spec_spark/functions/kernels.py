@@ -278,10 +278,28 @@ class IntStreamEncoding:
     num_rle_values: int  # pre-RLE value count (for client preallocation)
 
 
+def _physical_encoder(plt: int, bits: int):
+    """Physical-level byte encoder: varint, or — for 32-bit streams under
+    ``--enable-fastpfor`` — the JavaFastPFOR Composition stream
+    (IntegerEncoder.encodeInt:249-258; longs always fall back to varint,
+    IntegerEncoder.java:157)."""
+    if plt == PLT_FASTPFOR and bits == 32:
+        from maplibre_tile_spec_spark.functions.fastpfor import fastpfor_encode
+
+        return lambda u: fastpfor_encode(np.asarray(u, dtype=np.uint64).astype(np.uint32))
+    return varint_encode
+
+
 def encode_int_stream(
-    values: np.ndarray, signed: bool, bits: int = 32, option: str = "auto"
+    values: np.ndarray,
+    signed: bool,
+    bits: int = 32,
+    option: str = "auto",
+    plt: int = 2,
+    long_auto_rle: bool = False,
 ) -> IntStreamEncoding:
-    """Integer stream encoding, varint physical level.
+    """Integer stream encoding at the given physical level (PLT_VARINT
+    default; PLT_FASTPFOR for 32-bit streams on the advanced path).
 
     ``option`` mirrors the reference's IntegerEncodingOption
     (ConversionConfig): 'auto' (cost-based argmin with gating, const-stream
@@ -291,8 +309,9 @@ def encode_int_stream(
     v = values.astype(np.int64)
     n = v.shape[0]
     deltas = delta_encode(v, bits=bits)
+    phys = _physical_encoder(plt, bits)
     if option != "auto":
-        return _encode_int_forced(v, deltas, signed, bits, option)
+        return _encode_int_forced(v, deltas, signed, bits, option, phys)
 
     def as_unsigned(a: np.ndarray, do_zigzag: bool) -> np.ndarray:
         if do_zigzag:
@@ -301,16 +320,18 @@ def encode_int_stream(
             return a.astype(np.int64).astype(np.uint32).astype(np.uint64)
         return a.astype(np.int64).view(np.uint64)
 
-    plain = varint_encode(as_unsigned(v, signed))
-    delta_enc = varint_encode(as_unsigned(deltas, True))
+    plain = phys(as_unsigned(v, signed))
+    delta_enc = phys(as_unsigned(deltas, True))
 
     candidates: list[bytes | None] = [plain, delta_enc, None, None]
-    if bits == 64:
-        # the reference's LONG path selects only plain vs delta — across all
-        # 134 fixture tiles no 64-bit stream is RLE/delta-RLE encoded (e.g.
-        # 2-value constant u64 id streams are DELTA, where the 32-bit path's
-        # const-forcing would emit RLE); first-min tie-break prefers delta
-        # only when strictly smaller
+    if bits == 64 and not long_auto_rle:
+        # FIXTURE-era LONG rule: the checked-in fixture corpus was generated
+        # by a reference version whose encodeLong selected only plain vs
+        # delta (no 64-bit stream in all 134 tiles is RLE/delta-RLE; 2-value
+        # constant u64 id streams are DELTA). The CURRENT reference
+        # IntegerEncoder.encodeLong:404-520 runs the full 4-candidate
+        # selection with const-forcing, just like the int path — callers on
+        # the CLI-parity path pass long_auto_rle=True for that behavior.
         idx64 = 0 if len(plain) <= len(delta_enc) else 1
         return IntStreamEncoding(
             candidates[idx64], LLT_DELTA if idx64 else LLT_NONE, LLT_NONE, n, 0, 0
@@ -323,13 +344,13 @@ def encode_int_stream(
     if runs_v > 0 and n / runs_v >= 2:
         r, vals = rle_encode(v)
         payload_vals = as_unsigned(vals, signed)
-        payload = varint_encode(np.concatenate([r.astype(np.uint64), payload_vals]))
+        payload = phys(np.concatenate([r.astype(np.uint64), payload_vals]))
         candidates[2] = payload
         rle_meta = (r.shape[0] + vals.shape[0], r.shape[0])
         is_const = r.shape[0] == 1
     if runs_d > 0 and n / runs_d >= 2:
         r, dvals = rle_encode(deltas)
-        payload = varint_encode(
+        payload = phys(
             np.concatenate([r.astype(np.uint64), zigzag_encode(dvals, bits=bits).astype(np.uint64)])
         )
         candidates[3] = payload
@@ -348,7 +369,7 @@ def encode_int_stream(
 
 
 def _encode_int_forced(
-    v: np.ndarray, deltas: np.ndarray, signed: bool, bits: int, option: str
+    v: np.ndarray, deltas: np.ndarray, signed: bool, bits: int, option: str, phys=varint_encode
 ) -> IntStreamEncoding:
     def as_unsigned(a: np.ndarray, do_zigzag: bool) -> np.ndarray:
         if do_zigzag:
@@ -358,16 +379,16 @@ def _encode_int_forced(
         return a.astype(np.int64).view(np.uint64)
 
     if option == "plain":
-        return IntStreamEncoding(varint_encode(as_unsigned(v, signed)), LLT_NONE, LLT_NONE, v.shape[0], 0, 0)
+        return IntStreamEncoding(phys(as_unsigned(v, signed)), LLT_NONE, LLT_NONE, v.shape[0], 0, 0)
     if option == "delta":
-        return IntStreamEncoding(varint_encode(as_unsigned(deltas, True)), LLT_DELTA, LLT_NONE, v.shape[0], 0, 0)
+        return IntStreamEncoding(phys(as_unsigned(deltas, True)), LLT_DELTA, LLT_NONE, v.shape[0], 0, 0)
     if option == "rle":
         r, vals = rle_encode(v)
-        payload = varint_encode(np.concatenate([r.astype(np.uint64), as_unsigned(vals, signed)]))
+        payload = phys(np.concatenate([r.astype(np.uint64), as_unsigned(vals, signed)]))
         return IntStreamEncoding(payload, LLT_RLE, LLT_NONE, r.shape[0] + vals.shape[0], r.shape[0], v.shape[0])
     if option == "delta_rle":
         r, dvals = rle_encode(deltas)
-        payload = varint_encode(
+        payload = phys(
             np.concatenate([r.astype(np.uint64), zigzag_encode(dvals, bits=bits).astype(np.uint64)])
         )
         return IntStreamEncoding(payload, LLT_DELTA, LLT_RLE, r.shape[0] + dvals.shape[0], r.shape[0], v.shape[0])

@@ -195,6 +195,10 @@ class LayerData:
     range_maps: list[RangeMapColumn] = field(default_factory=list)
     tessellate: bool = False  # emit the 7-stream pretessellated layout
     use_fsst: bool = False  # consider FSST candidates for string/struct columns
+    plt: int = 2  # physical level technique (K.PLT_VARINT; PLT_FASTPFOR = advanced path)
+    # current-reference encodeLong AUTO rules (full RLE selection) vs the
+    # fixture-era plain/delta-only rule the checked-in corpus requires
+    long_auto_rle: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -223,12 +227,18 @@ def _int_stream(
     pst: int,
     logical_type: int,
     bits: int = 32,
+    plt: int = K.PLT_VARINT,
+    long_auto_rle: bool = False,
 ) -> bytes:
-    """IntegerEncoder.encodeIntStream: AUTO-selected payload + metadata."""
-    r = K.encode_int_stream(values, signed=signed, bits=bits)
+    """IntegerEncoder.encodeIntStream: AUTO-selected payload + metadata.
+    64-bit streams always use varint (IntegerEncoder.java:157);
+    ``long_auto_rle`` selects current-reference vs fixture-era long rules."""
+    if bits == 64:
+        plt = K.PLT_VARINT
+    r = K.encode_int_stream(values, signed=signed, bits=bits, plt=plt, long_auto_rle=long_auto_rle)
     extra = (r.num_runs, r.num_rle_values) if (r.llt1 == K.LLT_RLE or r.llt2 == K.LLT_RLE) else ()
     meta = K.pack_stream_metadata(
-        pst, logical_type, r.llt1, r.llt2, K.PLT_VARINT, r.num_values, len(r.payload), extra
+        pst, logical_type, r.llt1, r.llt2, plt, r.num_values, len(r.payload), extra
     )
     return meta + r.payload
 
@@ -261,7 +271,10 @@ def _boolean_stream(bits: np.ndarray, pst: int) -> bytes:
 
 
 def encode_geometry_column(
-    g: GeometryColumn, use_morton: bool = True, pretess_selection: bool = False
+    g: GeometryColumn,
+    use_morton: bool = True,
+    pretess_selection: bool = False,
+    plt: int = K.PLT_VARINT,
 ) -> tuple[int, bytes]:
     """→ (num_streams, stream bytes). Candidate selection among plain /
     Hilbert-dict / Morton-dict by encoded payload size, reference tie-breaks
@@ -270,13 +283,14 @@ def encode_geometry_column(
     fixture corpus was generated through, always with morton disabled):
     plain only if it beats BOTH the dict and the morton candidate sizes,
     else dict — morton itself is never emitted."""
+    phys = K._physical_encoder(plt, 32)
     xs = g.vertices[0::2].astype(np.int64)
     ys = g.vertices[1::2].astype(np.int64)
-    out = _int_stream(g.types.astype(np.int64), False, K.PST_LENGTH, 0)
+    out = _int_stream(g.types.astype(np.int64), False, K.PST_LENGTH, 0, plt=plt)
     num_streams = 1
     for arr, lt in ((g.num_geometries, LT_GEOMETRIES), (g.num_parts, LT_PARTS), (g.num_rings, LT_RINGS)):
         if arr is not None and len(arr) > 0:
-            out += _int_stream(np.asarray(arr, dtype=np.int64), False, K.PST_LENGTH, lt)
+            out += _int_stream(np.asarray(arr, dtype=np.int64), False, K.PST_LENGTH, lt, plt=plt)
             num_streams += 1
 
     if xs.shape[0] == 0:
@@ -294,7 +308,7 @@ def encode_geometry_column(
     # layout larger than an alternative. Reproducing that exact comparison
     # is required for byte parity (omt fixtures flip Hilbert↔Morton on it).
     zz = K.vec2_zigzag_delta_encode(xs, ys)
-    plain_enc = K.encode_int_stream(zz.astype(np.int64), signed=False)
+    plain_enc = K.encode_int_stream(zz.astype(np.int64), signed=False, plt=plt)
     plain_size = len(plain_enc.payload)
 
     # hilbert dictionary candidate
@@ -304,17 +318,18 @@ def encode_geometry_column(
     dict_ys = ys[first_idx]
     offsets = np.searchsorted(hil_sorted, hil)
     zz_dict = K.vec2_zigzag_delta_encode(dict_xs, dict_ys)
-    dict_enc = K.encode_int_stream(zz_dict.astype(np.int64), signed=False)
-    off_enc = K.encode_int_stream(offsets.astype(np.int64), signed=False)
+    dict_enc = K.encode_int_stream(zz_dict.astype(np.int64), signed=False, plt=plt)
+    off_enc = K.encode_int_stream(offsets.astype(np.int64), signed=False, plt=plt)
     dict_size = len(dict_enc.payload) + len(off_enc.payload)
 
-    # morton dictionary candidate
+    # morton dictionary candidate (encodeMortonCodes: delta, no zigzag,
+    # then the physical technique directly)
     mort = K.morton_encode(xs, ys, shift=shift).astype(np.int64)
     mort_sorted = np.unique(mort)
     m_offsets = np.searchsorted(mort_sorted, mort)
     m_deltas = K.delta_encode(mort_sorted)
-    m_dict_payload = K.varint_encode(m_deltas.astype(np.uint64))
-    m_off_enc = K.encode_int_stream(m_offsets.astype(np.int64), signed=False)
+    m_dict_payload = phys(m_deltas.astype(np.uint64))
+    m_off_enc = K.encode_int_stream(m_offsets.astype(np.int64), signed=False, plt=plt)
     morton_size = len(m_dict_payload) + len(m_off_enc.payload)
 
     if pretess_selection:
@@ -324,30 +339,32 @@ def encode_geometry_column(
         pick_plain = plain_size <= dict_size and (not use_morton or plain_size <= morton_size)
         pick_dict = dict_size < plain_size and (not use_morton or dict_size <= morton_size)
     if pick_plain:
+        vert_payload = phys(zz)
         meta = K.pack_stream_metadata(
-            K.PST_DATA, DT_VERTEX, K.LLT_COMPONENTWISE_DELTA, K.LLT_NONE, K.PLT_VARINT,
-            zz.shape[0], len(K.varint_encode(zz)),
+            K.PST_DATA, DT_VERTEX, K.LLT_COMPONENTWISE_DELTA, K.LLT_NONE, plt,
+            zz.shape[0], len(vert_payload),
         )
-        return num_streams + 1, out + meta + K.varint_encode(zz)
+        return num_streams + 1, out + meta + vert_payload
     if pick_dict:
         off_extra = (off_enc.num_runs, off_enc.num_rle_values) if off_enc.num_runs else ()
         off_meta = K.pack_stream_metadata(
-            K.PST_OFFSET, OT_VERTEX, off_enc.llt1, off_enc.llt2, K.PLT_VARINT,
+            K.PST_OFFSET, OT_VERTEX, off_enc.llt1, off_enc.llt2, plt,
             off_enc.num_values, len(off_enc.payload), off_extra,
         )
+        dict_payload = phys(zz_dict)
         dict_meta = K.pack_stream_metadata(
-            K.PST_DATA, DT_VERTEX, K.LLT_COMPONENTWISE_DELTA, K.LLT_NONE, K.PLT_VARINT,
-            zz_dict.shape[0], len(K.varint_encode(zz_dict)),
+            K.PST_DATA, DT_VERTEX, K.LLT_COMPONENTWISE_DELTA, K.LLT_NONE, plt,
+            zz_dict.shape[0], len(dict_payload),
         )
-        return num_streams + 2, out + off_meta + off_enc.payload + dict_meta + K.varint_encode(zz_dict)
+        return num_streams + 2, out + off_meta + off_enc.payload + dict_meta + dict_payload
     # morton path
     m_off_extra = (m_off_enc.num_runs, m_off_enc.num_rle_values) if m_off_enc.num_runs else ()
     m_off_meta = K.pack_stream_metadata(
-        K.PST_OFFSET, OT_VERTEX, m_off_enc.llt1, m_off_enc.llt2, K.PLT_VARINT,
+        K.PST_OFFSET, OT_VERTEX, m_off_enc.llt1, m_off_enc.llt2, plt,
         m_off_enc.num_values, len(m_off_enc.payload), m_off_extra,
     )
     m_dict_meta = K.pack_stream_metadata(
-        K.PST_DATA, DT_MORTON, K.LLT_MORTON, K.LLT_DELTA, K.PLT_VARINT,
+        K.PST_DATA, DT_MORTON, K.LLT_MORTON, K.LLT_DELTA, plt,
         mort_sorted.shape[0], len(m_dict_payload), (num_bits, shift),
     )
     return num_streams + 2, out + m_off_meta + m_off_enc.payload + m_dict_meta + m_dict_payload
@@ -442,7 +459,7 @@ def encode_geometry_column_pretessellated(g: GeometryColumn) -> tuple[int, bytes
 # ---------------------------------------------------------------------------
 
 
-def encode_prop_column(col: PropColumn) -> bytes:
+def encode_prop_column(col: PropColumn, plt: int = K.PLT_VARINT, long_auto_rle: bool = False) -> bytes:
     if col.type in _LOGICAL_PHYSICAL:  # logical type → physical layout
         col = PropColumn(
             col.name, _LOGICAL_PHYSICAL[col.type], col.values, col.nullable, col.use_fsst
@@ -457,16 +474,19 @@ def encode_prop_column(col: PropColumn) -> bytes:
         if col.nullable:
             body += _boolean_stream(present, K.PST_PRESENT)
             n_streams += 1
-        body_str, n_str = _encode_string_streams(nn, use_fsst=col.use_fsst)
+        body_str, n_str = _encode_string_streams(nn, use_fsst=col.use_fsst, plt=plt)
         return _varint1(n_streams + n_str) + body + body_str
     if col.nullable:
         out += _boolean_stream(present, K.PST_PRESENT)
     if col.type == "boolean":
         out += _boolean_stream(np.array([bool(v) for v in nn]), K.PST_DATA)
     elif col.type in ("int32", "uint32"):
-        out += _int_stream(np.array(nn, dtype=np.int64), col.type == "int32", K.PST_DATA, DT_NONE, bits=32)
+        out += _int_stream(np.array(nn, dtype=np.int64), col.type == "int32", K.PST_DATA, DT_NONE, bits=32, plt=plt)
     elif col.type in ("int64", "uint64"):
-        out += _int_stream(np.array(nn, dtype=np.int64), col.type == "int64", K.PST_DATA, DT_NONE, bits=64)
+        out += _int_stream(
+            np.array(nn, dtype=np.int64), col.type == "int64", K.PST_DATA, DT_NONE, bits=64,
+            long_auto_rle=long_auto_rle,
+        )
     elif col.type in ("float", "double"):
         # the reference stores BOTH widths as 4-byte IEEE754 LE — doubles are
         # coerced to float on encode (PropertyEncoder.getFloatPropertyValue,
@@ -479,14 +499,16 @@ def encode_prop_column(col: PropColumn) -> bytes:
     return out
 
 
-def _encode_string_streams(values: list[str], use_fsst: bool = False) -> tuple[bytes, int]:
+def _encode_string_streams(
+    values: list[str], use_fsst: bool = False, plt: int = K.PLT_VARINT
+) -> tuple[bytes, int]:
     """Candidate argmin among plain / dict / fsst-dict by byte size
     (StringEncoder.encode:134-172; fsst optional like --enable-fsst)."""
     utf8 = [v.encode("utf-8") for v in values]
     # plain: LENGTH(VAR_BINARY) + DATA(NONE)
     lengths = np.array([len(b) for b in utf8], dtype=np.int64)
     data = b"".join(utf8)
-    plain = _int_stream(lengths, False, K.PST_LENGTH, LT_VAR_BINARY)
+    plain = _int_stream(lengths, False, K.PST_LENGTH, LT_VAR_BINARY, plt=plt)
     plain += K.pack_stream_metadata(K.PST_DATA, DT_NONE, K.LLT_NONE, K.LLT_NONE, K.PLT_NONE, len(values), len(data))
     plain += data
     # dictionary layout per StringEncoder.encodeDictionary: LENGTH(DICT),
@@ -503,8 +525,8 @@ def _encode_string_streams(values: list[str], use_fsst: bool = False) -> tuple[b
         idx[i] = j
     dlengths = np.array([len(b) for b in dict_list], dtype=np.int64)
     ddata = b"".join(dict_list)
-    offsets_stream = _int_stream(idx, False, K.PST_OFFSET, OT_STRING)
-    dic = _int_stream(dlengths, False, K.PST_LENGTH, LT_DICTIONARY)
+    offsets_stream = _int_stream(idx, False, K.PST_OFFSET, OT_STRING, plt=plt)
+    dic = _int_stream(dlengths, False, K.PST_LENGTH, LT_DICTIONARY, plt=plt)
     dic += offsets_stream
     dic += K.pack_stream_metadata(K.PST_DATA, DT_SINGLE, K.LLT_NONE, K.LLT_NONE, K.PLT_NONE, len(dict_list), len(ddata))
     dic += ddata
@@ -513,10 +535,10 @@ def _encode_string_streams(values: list[str], use_fsst: bool = False) -> tuple[b
     if use_fsst and ddata:
         table, sym_lens, compressed = fsst_encode(ddata)
         if table:
-            fs = _int_stream(sym_lens, False, K.PST_LENGTH, LT_SYMBOL)
+            fs = _int_stream(sym_lens, False, K.PST_LENGTH, LT_SYMBOL, plt=plt)
             fs += K.pack_stream_metadata(K.PST_DATA, DT_FSST, K.LLT_NONE, K.LLT_NONE, K.PLT_NONE, len(sym_lens), len(table))
             fs += table
-            fs += _int_stream(dlengths, False, K.PST_LENGTH, LT_DICTIONARY)
+            fs += _int_stream(dlengths, False, K.PST_LENGTH, LT_DICTIONARY, plt=plt)
             fs += K.pack_stream_metadata(K.PST_DATA, DT_SINGLE, K.LLT_NONE, K.LLT_NONE, K.PLT_NONE, len(dict_list), len(compressed))
             fs += compressed
             fs += offsets_stream
@@ -705,7 +727,15 @@ def encode_layer(layer: LayerData) -> bytes:
     if layer.ids is not None:
         meta += _varint1(TC_ID_U64 if layer.has_long_ids else TC_ID_U32)
         ids = np.asarray(layer.ids, dtype=np.int64)
-        body += _int_stream(ids, False, K.PST_DATA, DT_NONE, bits=64 if layer.has_long_ids else 32)
+        body += _int_stream(
+            ids,
+            False,
+            K.PST_DATA,
+            DT_NONE,
+            bits=64 if layer.has_long_ids else 32,
+            plt=layer.plt,
+            long_auto_rle=layer.long_auto_rle,
+        )
     has_z = layer.geometry.z is not None
     meta += _varint1(TC_GEOMETRY_Z if has_z else TC_GEOMETRY)
     if layer.tessellate:
@@ -713,7 +743,7 @@ def encode_layer(layer: LayerData) -> bytes:
             raise ValueError("GEOMETRY_Z with pretessellation is not supported")
         n_geo_streams, geo_bytes = encode_geometry_column_pretessellated(layer.geometry)
     else:
-        n_geo_streams, geo_bytes = encode_geometry_column(layer.geometry)
+        n_geo_streams, geo_bytes = encode_geometry_column(layer.geometry, plt=layer.plt)
     body += _varint1(n_geo_streams) + geo_bytes
     if has_z:
         body += _int_stream(
@@ -722,7 +752,7 @@ def encode_layer(layer: LayerData) -> bytes:
     for col in layer.props:
         code = _LOGICAL_CODES.get(col.type) or _SCALAR_CODES[col.type]
         meta += _varint1(code + (1 if col.nullable else 0)) + _put_string(col.name)
-        body += encode_prop_column(col)
+        body += encode_prop_column(col, plt=layer.plt, long_auto_rle=layer.long_auto_rle)
     for struct_col in layer.structs:
         meta += _varint1(TC_STRUCT) + _put_string(struct_col.name)
         meta += _varint1(len(struct_col.children))

@@ -69,6 +69,10 @@ class MvtFeature:
     geometry: list[np.ndarray]  # list of vertex runs (MoveTo..LineTo seq), closed flag applied
     closed: list[bool]
     properties: dict
+    # proto value kind per property: string|float|double|int|uint|sint|bool —
+    # needed to reproduce the Java decoder's boxed types (Float vs Double vs
+    # Long) for createTilesetMetadata-style type inference
+    prop_kinds: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -78,23 +82,31 @@ class MvtLayer:
     features: list[MvtFeature] = field(default_factory=list)
 
 
-def _decode_value(buf: memoryview):
+_VALUE_KINDS = {1: "string", 2: "float", 3: "double", 4: "int", 5: "uint", 6: "sint", 7: "bool"}
+
+
+def _decode_value_kind(buf: memoryview):
     for fn, wt, v in _fields(buf):
+        kind = _VALUE_KINDS.get(fn)
         if fn == 1:
-            return bytes(v).decode("utf-8")
+            return bytes(v).decode("utf-8"), kind
         if fn == 2:
-            return np.frombuffer(v, "<f4")[0].item()
+            return np.frombuffer(v, "<f4")[0].item(), kind
         if fn == 3:
-            return np.frombuffer(v, "<f8")[0].item()
+            return np.frombuffer(v, "<f8")[0].item(), kind
         if fn == 4:  # int64
-            return v if v < 2**63 else v - 2**64
+            return (v if v < 2**63 else v - 2**64), kind
         if fn == 5:  # uint64
-            return v
+            return v, kind
         if fn == 6:  # sint64
-            return _zigzag(v)
+            return _zigzag(v), kind
         if fn == 7:
-            return bool(v)
-    return None
+            return bool(v), kind
+    return None, None
+
+
+def _decode_value(buf: memoryview):
+    return _decode_value_kind(buf)[0]
 
 
 def _decode_geometry(commands: list[int]) -> tuple[list[np.ndarray], list[bool]]:
@@ -153,7 +165,7 @@ def decode_mvt(data: bytes) -> list[MvtLayer]:
             elif lf == 3:
                 keys.append(bytes(lv).decode("utf-8"))
             elif lf == 4:
-                values.append(_decode_value(lv))
+                values.append(_decode_value_kind(lv))
             elif lf == 5:
                 extent = lv
         layer = MvtLayer(name, extent)
@@ -171,8 +183,9 @@ def decode_mvt(data: bytes) -> list[MvtLayer]:
                     gtype = fv
                 elif ff == 4:
                     cmds = _packed_varints(fv) if fw == 2 else cmds + [fv]
-            props = {keys[tags[i]]: values[tags[i + 1]] for i in range(0, len(tags), 2)}
+            props = {keys[tags[i]]: values[tags[i + 1]][0] for i in range(0, len(tags), 2)}
+            kinds = {keys[tags[i]]: values[tags[i + 1]][1] for i in range(0, len(tags), 2)}
             runs, closed = _decode_geometry(cmds)
-            layer.features.append(MvtFeature(fid, gtype, runs, closed, props))
+            layer.features.append(MvtFeature(fid, gtype, runs, closed, props, kinds))
         layers.append(layer)
     return layers
