@@ -203,6 +203,53 @@ def run_bench(cpus: int, sf_dir: str, scaling_only: bool = False) -> dict:
     }
 
 
+_REPL_KEY_COLS = {
+    # join/grouping keys offset per replica so join fan-out stays realistic
+    # (plain 10× duplication would square join outputs)
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "region": [],  # dims stay single-copy
+    "nation": [],
+}
+_REPL_OFFSET = 1_000_000_000
+
+
+def replicate_sf(spark, src_dir: str, dst_dir: str, factor: int = 10) -> None:
+    """Synthesize an sf1-ish stress input by replicating sf0.1 ``factor``×
+    with per-replica key offsets (so joins keep 1:N fan-out instead of
+    squaring) and per-replica text perturbation (so dedup/similarity see a
+    realistic near-dup structure rather than factor-sized identical
+    clusters). Stress-only: wall times and memory are meaningful, oracle
+    equality is not re-checked at this scale (the sf0.01 gate covers
+    correctness)."""
+    from pyspark.sql import functions as F
+
+    os.makedirs(dst_dir, exist_ok=True)
+    for table, keys in _REPL_KEY_COLS.items():
+        src = spark.read.parquet(os.path.join(src_dir, f"{table}.parquet"))
+        if not keys:
+            out = src
+        else:
+            parts = []
+            for i in range(factor):
+                df = src
+                for k in keys:
+                    df = df.withColumn(k, F.col(k) + F.lit(i * _REPL_OFFSET))
+                if table == "documents" and i > 0:
+                    df = df.withColumn("text", F.concat(F.col("text"), F.lit(f" r{i}")))
+                parts.append(df)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(os.path.join(dst_dir, f"{table}.parquet"))
+
+
 SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "1000000"))
 SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))  # N vs 4N cores
 SCALE_RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "8"))
@@ -250,7 +297,27 @@ def _burn(_):
     return s
 
 
+def _proc_stat_busy() -> float:
+    """System-wide busy CPU seconds (all cores, everything except
+    idle/iowait) since boot."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    vals = [int(x) for x in parts]
+    busy = sum(vals) - vals[3] - (vals[4] if len(vals) > 4 else 0)
+    return busy / os.sysconf("SC_CLK_TCK")
+
+
 def _scaling_child(cpus: int, env: dict) -> dict:
+    """Run one scaling leg in a child process, measuring the DURING-run
+    host-contention covariate: external_cores = (system busy CPU − this
+    child's own CPU incl. its JVM/worker descendants) / wall. The pre-run
+    probe misses tenant bursts that arrive mid-leg (observed: hi-leg rates
+    34k–95k docs/s with clean pre-probes); this measures the steal itself."""
+    import resource
+
+    ru0 = resource.getrusage(resource.RUSAGE_CHILDREN)
+    busy0 = _proc_stat_busy()
+    t0 = time.perf_counter()
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--cpus", str(cpus), "--scaling-child"],
         capture_output=True,
@@ -258,8 +325,19 @@ def _scaling_child(cpus: int, env: dict) -> dict:
         check=True,
         env=env,
     )
+    wall = time.perf_counter() - t0
+    busy1 = _proc_stat_busy()
+    ru1 = resource.getrusage(resource.RUSAGE_CHILDREN)
+    ours = (ru1.ru_utime + ru1.ru_stime) - (ru0.ru_utime + ru0.ru_stime)
+    external_cores = max(0.0, (busy1 - busy0) - ours) / max(wall, 1e-9)
     line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
-    return json.loads(line)
+    r = json.loads(line)
+    r["covariate"] = {
+        "wall_sec": round(wall, 2),
+        "own_cpu_sec": round(ours, 2),
+        "external_cpu_cores_avg": round(external_cores, 3),
+    }
+    return r
 
 
 def run_scaling() -> dict:
@@ -284,6 +362,7 @@ def run_scaling() -> dict:
         for cpus in (lo, hi):
             pair_probe[f"local[{cpus}]"] = _host_probe()
             r = _scaling_child(cpus, env)
+            pair_probe[f"local[{cpus}]"].update(r.get("covariate", {}))
             rate = r["docs_pipeline"]["docs_per_sec"]
             rates[cpus].append(rate)
             pair[cpus] = rate
@@ -303,18 +382,17 @@ def run_scaling() -> dict:
     #   noise-crushed pairs, recorded alongside
     eff = (max(rates[hi]) / max(rates[lo])) / (hi / lo)
     eff_median_pairs = statistics.median(ratios)
-    # contention-screened median: keep pairs whose pre-run burn probes were
-    # within 25% of the quietest probe of the session (both levels) — pairs
-    # started under visible external load are excluded, with the covariate
-    # recorded so the exclusion is auditable rather than silent
-    all_burns = [p[k]["burn_sec"] for p in probes for k in p]
-    burn_floor = min(all_burns) if all_burns else 0.0
+    # contention-screened median: a pair is clean iff external tenants used
+    # ≤ 0.5 CPU cores on average DURING both of its legs (measured from
+    # /proc/stat minus our own rusage — the pre-run burn probe misses
+    # bursts arriving mid-leg). Exclusions stay auditable: every pair's
+    # external_cpu_cores_avg is recorded alongside its ratio.
     clean_ratios = [
         r
         for r, p in zip(ratios, probes)
-        if all(p[k]["burn_sec"] <= 1.25 * burn_floor for k in p)
+        if all(p[k].get("external_cpu_cores_avg", 99.0) <= 0.5 for k in p)
     ]
-    eff_median_clean = statistics.median(clean_ratios) if len(clean_ratios) >= 3 else None
+    eff_median_clean = statistics.median(clean_ratios) if len(clean_ratios) >= 2 else None
     t_lo = statistics.median(rates[lo])
     t_hi = statistics.median(rates[hi])
     # ceiling at the TRUE process counts (2 procs per Spark core: JVM task
@@ -366,7 +444,15 @@ if __name__ == "__main__":
     ap.add_argument("--sf-dir", default=SF_DIR)
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scaling-child", action="store_true")
+    ap.add_argument("--make-sf1", metavar="DST", help="replicate --sf-dir 10x into DST (stress input)")
     args = ap.parse_args()
+    if args.make_sf1:
+        from maplibre_tile_spec_spark.session import get_spark
+
+        spark = get_spark(master=f"local[{args.cpus}]", shuffle_partitions=args.cpus, app_name="make-sf1")
+        replicate_sf(spark, args.sf_dir, args.make_sf1)
+        spark.stop()
+        sys.exit(0)
     if args.scaling:
         print(json.dumps(run_scaling()))
     elif args.scaling_child:

@@ -199,6 +199,14 @@ class LayerData:
     # current-reference encodeLong AUTO rules (full RLE selection) vs the
     # fixture-era plain/delta-only rule the checked-in corpus requires
     long_auto_rle: bool = False
+    # opt-in for columns using EXTENSION type codes (5, 32-48: GEOMETRY_Z,
+    # LIST/MAP/VEC/RANGE_MAP, DATE/TIMESTAMP/JSON). These code points are
+    # unassigned in the reference's MltTypeMap.decodeColumnType, which
+    # throws on them — a tile carrying such columns is NOT decodable by
+    # reference consumers, and a future upstream assignment would make
+    # stored tiles ambiguous. Encoding raises unless this is set (ADVICE
+    # r3); COVERAGE.md documents the reservation.
+    extensions: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -710,6 +718,21 @@ def encode_range_map_column(col: RangeMapColumn, use_fsst: bool = False) -> byte
 
 
 def encode_layer(layer: LayerData) -> bytes:
+    uses_extensions = bool(
+        layer.lists
+        or layer.maps
+        or layer.vecs
+        or layer.range_maps
+        or layer.geometry.z is not None
+        or any(col.type in _LOGICAL_CODES for col in layer.props)
+    )
+    if uses_extensions and not layer.extensions:
+        raise ValueError(
+            "layer uses extension type codes (GEOMETRY_Z/LIST/MAP/VEC/"
+            "RANGE_MAP/DATE/TIMESTAMP/JSON) that reference decoders reject; "
+            "pass LayerData(extensions=True) to emit a non-reference-"
+            "compatible tile deliberately"
+        )
     meta = _put_string(layer.name)
     meta += _varint1(layer.extent)
     n_cols = (

@@ -6,8 +6,10 @@ synthesis, partitioning, Arrow-batched UDF signatures, batch shapes.
 Real formats that need no library to decode for real: **WAV/RIFF** (struct
 chunk walk → sample_rate, frame count, raw PCM body), **PNG** (stdlib zlib
 inflate + chunk walk + Sub/Up/Average/Paeth scanline defilter, incl.
-palette expansion), **uncompressed BMP** (BITMAPINFOHEADER), and **binary
-PPM/PGM**. Remaining compressed formats (JPEG/MP3/MP4) are the one STUB:
+palette expansion), **baseline JPEG** (from-scratch T.81 Huffman + IDCT +
+chroma upsampling, functions/jpeg.py), **uncompressed BMP**
+(BITMAPINFOHEADER), and **binary PPM/PGM**. Remaining compressed formats
+(MP3/MP4/WEBP, progressive JPEG) are the one STUB:
 they need PIL/libav, which are not in this container — the
 ``_try_pil_decode`` capability gate makes production a pure library swap;
 nothing else changes. A magic-matched decoder that rejects its payload
@@ -173,6 +175,16 @@ def _decode_pnm(payload: bytes) -> tuple[str, int, int, int, int, bytes]:
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
+def _decode_jpeg(payload: bytes) -> tuple[str, int, int, int, int, bytes]:
+    """Real baseline JPEG decode — functions/jpeg.py (from-scratch T.81:
+    Huffman + dequant + IDCT + upsample + YCbCr). Progressive/12-bit raise
+    NotImplementedError and fall through to the library gate."""
+    from maplibre_tile_spec_spark.functions.jpeg import decode_baseline_jpeg
+
+    w, h, _nc, body = decode_baseline_jpeg(payload)
+    return "image", w, h, 1, 0, body
+
+
 def _png_defilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
     """Reverse PNG scanline filters (None/Sub/Up/Average/Paeth) → (h, stride)
     uint8 raster. Sub and Up are fully vectorized (per-byte-lane cumsum /
@@ -265,6 +277,7 @@ def _decode_png(payload: bytes) -> tuple[str, int, int, int, int, bytes]:
 _REAL_DECODERS = {
     b"RIFF": _decode_wav,
     _PNG_MAGIC: _decode_png,
+    b"\xff\xd8": _decode_jpeg,
     b"BM": _decode_bmp,
     b"P6": _decode_pnm,
     b"P5": _decode_pnm,
@@ -289,9 +302,10 @@ def _parse_header(payload: bytes) -> tuple[str, int, int, int, int, bytes]:
             return real
         if matched_err is not None:
             raise matched_err
-        # >>> STUB: remaining compressed formats (JPEG/MP3/MP4) need PIL /
-        # libav, which are not installed in this container. WAV/PNG/BMP/PNM
-        # decode for real above with no library.
+        # >>> STUB: remaining compressed formats (MP3/MP4/WEBP, progressive
+        # JPEG) need PIL / libav, which are not installed in this container.
+        # WAV / PNG / baseline JPEG / BMP / PNM decode for real above with
+        # no library.
         raise NotImplementedError("compressed media decoding requires image/audio libs")
     kind_b, w, h, frames, rate = struct.unpack("<BHHHI", payload[4:15])
     kind = ["image", "audio", "video"][kind_b]

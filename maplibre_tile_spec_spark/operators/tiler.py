@@ -638,3 +638,32 @@ def decode_tiles_membership(tiles: DataFrame) -> DataFrame:
             )
 
     return tiles.mapInPandas(dec, schema="z int, x int, y int, feature_id long, geom_type int, n_vertices long")
+
+
+def transcode_mvt_tiles(
+    tiles: DataFrame, use_fastpfor: bool = False, use_fsst: bool = False
+) -> DataFrame:
+    """Distributed MVT→MLT transcode under the reference CLI's default
+    config (functions/mlt_cli.py — byte-exact vs the compiled reference
+    converter, FIXTURES.md §8). Input: (z, x, y, tile) with MVT bytes, e.g.
+    from sources.mbtiles.read_mbtiles; output adds before/after sizes so a
+    compression report is one aggregate away. Embarrassingly parallel — one
+    Arrow batch of tiles per task, no shuffle."""
+    from maplibre_tile_spec_spark.functions import mlt_cli as CLI
+
+    def tc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for z, x, y, blob in zip(pdf["z"], pdf["x"], pdf["y"], pdf["tile"]):
+                mvt = bytes(blob)
+                mlt = CLI.convert_mvt(mvt, use_fastpfor=use_fastpfor, use_fsst=use_fsst)
+                rows.append((int(z), int(x), int(y), len(mvt), len(mlt), mlt))
+            yield pd.DataFrame(
+                rows, columns=["z", "x", "y", "mvt_bytes", "mlt_bytes", "tile"]
+            )
+
+    return tiles.mapInPandas(
+        tc, schema="z int, x int, y int, mvt_bytes long, mlt_bytes long, tile binary"
+    )

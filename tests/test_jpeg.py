@@ -1,0 +1,243 @@
+"""Baseline JPEG decoder vs an independent test-side encoder.
+
+The encoder below writes spec-conformant baseline JPEG (T.81: SOI/DQT/DHT/
+SOF0/SOS/EOI, canonical Huffman tables declared via DHT, forward DCT +
+quantization, byte stuffing, optional 4:2:0 subsampling, optional restart
+intervals) — so the decoder must exercise real marker parsing, Huffman
+decoding, dequantize/IDCT, upsampling, and color conversion. With an
+all-ones quant table the pipeline is near-lossless: decode(encode(img))
+must match within a small absolute tolerance.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from maplibre_tile_spec_spark.functions import jpeg as J
+
+# canonical tables: DC = 12 symbols at 4 bits, AC = all 162 baseline
+# symbols at 8 bits (Kraft 162/256 < 1; trivially canonical)
+_DC_SYMBOLS = list(range(12))
+_AC_SYMBOLS = [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+] + [0x00, 0xF0]  # EOB and ZRL
+
+
+def _canon_codes(symbols, length):
+    return {sym: (length, code) for code, sym in enumerate(symbols)}
+
+
+_DC_CODES = _canon_codes(_DC_SYMBOLS, 4)
+_AC_CODES = _canon_codes(_AC_SYMBOLS, 8)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        while self.n:
+            self.write(1, 1)
+
+
+def _dht(tc, th, symbols, length):
+    counts = [0] * 16
+    counts[length - 1] = len(symbols)
+    body = bytes([(tc << 4) | th]) + bytes(counts) + bytes(symbols)
+    return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+
+def _category(v):
+    return int(abs(v)).bit_length()
+
+
+def _emit(bw, codes, sym):
+    length, code = codes[sym]
+    bw.write(code, length)
+
+
+def _encode_block(bw, block, pred):
+    f = J._C @ (block - 128.0) @ J._C.T
+    q = np.round(f).astype(np.int64).reshape(-1)[J.ZIGZAG]  # natural → zigzag order
+    dc = int(q[0])
+    diff = dc - pred
+    s = _category(diff)
+    _emit(bw, _DC_CODES, s)
+    if s:
+        bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last = 63
+    while last > 0 and q[last] == 0:
+        last -= 1
+    for k in range(1, last + 1):
+        v = int(q[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            _emit(bw, _AC_CODES, 0xF0)
+            run -= 16
+        s = _category(v)
+        _emit(bw, _AC_CODES, (run << 4) | s)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < 63:
+        _emit(bw, _AC_CODES, 0x00)
+    return dc
+
+
+def encode_jpeg(img: np.ndarray, subsample=False, restart_interval=0) -> bytes:
+    """img: (h, w) gray or (h, w, 3) RGB uint8 → baseline JPEG bytes."""
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if gray:
+        planes = [img.astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        rgb = img.astype(np.float64)
+        y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        cb = -0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2] + 128
+        cr = 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2] + 128
+        if subsample:
+            def down(p):
+                hh = (h + 1) // 2 * 2
+                ww = (w + 1) // 2 * 2
+                pp = np.pad(p, ((0, hh - h), (0, ww - w)), mode="edge")
+                return (pp[0::2, 0::2] + pp[1::2, 0::2] + pp[0::2, 1::2] + pp[1::2, 1::2]) / 4
+            planes = [y, down(cb), down(cr)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
+
+    out = bytearray(b"\xff\xd8")
+    qtable = bytes([0]) + bytes([1] * 64)  # table 0, all ones
+    out += b"\xff\xdb" + struct.pack(">H", len(qtable) + 2) + qtable
+    out += _dht(0, 0, _DC_SYMBOLS, 4)
+    out += _dht(1, 0, _AC_SYMBOLS, 8)
+    nc = len(planes)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for i, (sh, sv) in enumerate(samp):
+        sof += bytes([i + 1, (sh << 4) | sv, 0])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", restart_interval)
+    sos = bytes([nc])
+    for i in range(nc):
+        sos += bytes([i + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    padded = []
+    for p, (sh, sv) in zip(planes, samp):
+        ph, pw = mcuy * sv * 8, mcux * sh * 8
+        padded.append(np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge"))
+    preds = [0] * nc
+    bw = _BitWriter()
+    mcu = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu > 0 and mcu % restart_interval == 0:
+                bw.flush()
+                out += bw.out
+                bw = _BitWriter()
+                out += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                preds = [0] * nc
+            for ci, (p, (sh, sv)) in enumerate(zip(padded, samp)):
+                for by in range(sv):
+                    for bx in range(sh):
+                        y0 = (my * sv + by) * 8
+                        x0 = (mx * sh + bx) * 8
+                        preds[ci] = _encode_block(bw, p[y0 : y0 + 8, x0 : x0 + 8], preds[ci])
+            mcu += 1
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+class TestBaselineJpeg:
+    def test_gray_near_lossless(self):
+        rng = np.random.RandomState(42)
+        img = rng.randint(0, 256, size=(16, 24), dtype=np.uint8)
+        w, h, nc, body = J.decode_baseline_jpeg(encode_jpeg(img))
+        assert (w, h, nc) == (24, 16, 1)
+        got = np.frombuffer(body, np.uint8).reshape(16, 24)
+        assert np.abs(got.astype(int) - img.astype(int)).max() <= 2
+
+    def test_gray_non_multiple_of_8(self):
+        rng = np.random.RandomState(1)
+        img = rng.randint(0, 256, size=(13, 19), dtype=np.uint8)
+        w, h, nc, body = J.decode_baseline_jpeg(encode_jpeg(img))
+        assert (w, h) == (19, 13)
+        got = np.frombuffer(body, np.uint8).reshape(13, 19)
+        assert np.abs(got.astype(int) - img.astype(int)).max() <= 2
+
+    def test_rgb_444(self):
+        rng = np.random.RandomState(7)
+        img = rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+        w, h, nc, body = J.decode_baseline_jpeg(encode_jpeg(img))
+        assert (w, h, nc) == (8, 8, 3)
+        got = np.frombuffer(body, np.uint8).reshape(8, 8, 3)
+        # YCbCr forward+inverse round-trip adds a couple of counts of error
+        assert np.abs(got.astype(int) - img.astype(int)).max() <= 4
+
+    def test_rgb_420_subsampled(self):
+        # smooth gradient: 4:2:0 chroma loss is small on smooth data
+        yy, xx = np.mgrid[0:16, 0:16]
+        img = np.stack(
+            [(yy * 8).astype(np.uint8), (xx * 8).astype(np.uint8), ((yy + xx) * 4).astype(np.uint8)],
+            axis=-1,
+        )
+        w, h, nc, body = J.decode_baseline_jpeg(encode_jpeg(img, subsample=True))
+        assert (w, h, nc) == (16, 16, 3)
+        got = np.frombuffer(body, np.uint8).reshape(16, 16, 3)
+        assert np.abs(got.astype(int) - img.astype(int)).mean() <= 6
+
+    def test_restart_markers(self):
+        rng = np.random.RandomState(3)
+        img = rng.randint(0, 256, size=(16, 32), dtype=np.uint8)
+        blob = encode_jpeg(img, restart_interval=2)
+        assert b"\xff\xd0" in blob  # RST0 emitted
+        w, h, nc, body = J.decode_baseline_jpeg(blob)
+        got = np.frombuffer(body, np.uint8).reshape(16, 32)
+        assert np.abs(got.astype(int) - img.astype(int)).max() <= 2
+
+    def test_progressive_rejected(self):
+        rng = np.random.RandomState(5)
+        blob = bytearray(encode_jpeg(rng.randint(0, 256, size=(8, 8), dtype=np.uint8)))
+        i = blob.index(b"\xff\xc0")
+        blob[i + 1] = 0xC2  # SOF0 → SOF2
+        with pytest.raises(NotImplementedError, match="non-baseline"):
+            J.decode_baseline_jpeg(bytes(blob))
+
+    def test_through_media_features(self, spark):
+        from maplibre_tile_spec_spark.operators import multimodal as MM
+
+        rng = np.random.RandomState(11)
+        img = rng.randint(0, 256, size=(8, 16, 3), dtype=np.uint8)
+        blob = encode_jpeg(img)
+        media = spark.createDataFrame([("jpg-1", "image", 16, 8, 1, 0, blob)], MM.MEDIA_SCHEMA)
+        got = MM.media_features(media).collect()[0]
+        assert got.kind == "image" and got.n_frames == 1
+        assert got.n_bytes == len(blob)

@@ -520,6 +520,7 @@ class TestListMapColumns:
             num_rings=np.empty(0, np.int64),
             vertices=np.arange(8, dtype=np.int64),
         )
+        kw.setdefault("extensions", True)
         return C.LayerData(name="l", extent=4096, geometry=g,
                            ids=np.arange(4, dtype=np.int64), **kw)
 
@@ -566,6 +567,7 @@ class TestVecAndRangeMap:
             num_rings=np.empty(0, np.int64),
             vertices=np.arange(8, dtype=np.int64),
         )
+        kw.setdefault("extensions", True)
         return C.LayerData(name="l", extent=4096, geometry=g,
                            ids=np.arange(4, dtype=np.int64), **kw)
 
@@ -618,7 +620,8 @@ class TestGeometryZ:
             z=np.asarray(z, dtype=np.int64) if z is not None else None,
         )
         return C.LayerData(name="l", extent=4096, geometry=g,
-                           ids=np.arange(4, dtype=np.int64))
+                           ids=np.arange(4, dtype=np.int64),
+                           extensions=z is not None)
 
     def test_z_roundtrip(self):
         z = [-5, 0, 1200, 33]
@@ -658,6 +661,7 @@ class TestArrowComplexTypes:
             maps=[C.MapColumn("m", [{"k": "v"}, None, {}])],
             vecs=[C.VecColumn("d", "int32", [(1, 2), None, (3, 4)])],
             range_maps=[C.RangeMapColumn("rm", [[], None, [(0.0, 1.0, "x")]])],
+            extensions=True,
         )
         batch = C.decode_tile_to_arrow(C.encode_layer(la))["l"]
         d = batch.to_pydict()
@@ -684,7 +688,8 @@ class TestLogicalScalarTypes:
             vertices=np.arange(6, dtype=np.int64),
         )
         return C.LayerData(name="l", extent=4096, geometry=g,
-                           ids=np.arange(3, dtype=np.int64), props=props)
+                           ids=np.arange(3, dtype=np.int64), props=props,
+                           extensions=True)
 
     def test_date_timestamp_json_roundtrip(self):
         la = self._layer([
@@ -705,3 +710,30 @@ class TestLogicalScalarTypes:
         ])
         blob = C.encode_layer(la)
         assert C.reencode_tile(blob, fixture_rules=False) == blob
+
+
+class TestExtensionGate:
+    """ADVICE r3: extension type codes (5, 32-48) are unassigned upstream —
+    emitting them must be an explicit opt-in so reference-compatible output
+    can be guaranteed by default."""
+
+    def test_extension_columns_require_opt_in(self):
+        import numpy as np
+
+        g = C.GeometryColumn(
+            types=np.zeros(2, dtype=np.int64),
+            num_geometries=np.empty(0, np.int64),
+            num_parts=np.empty(0, np.int64),
+            num_rings=np.empty(0, np.int64),
+            vertices=np.arange(4, dtype=np.int64),
+        )
+        la = C.LayerData(
+            name="l", extent=4096, geometry=g,
+            lists=[C.ListColumn("tags", "string", [["a"], ["b"]])],
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="extension type codes"):
+            C.encode_layer(la)
+        la.extensions = True
+        assert C.encode_layer(la)

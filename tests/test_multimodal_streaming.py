@@ -52,8 +52,9 @@ class TestMultimodal:
             assert per_vid[ref] == (n_frames - 1) // 5 + 1
 
     def test_real_format_stub_raises(self):
+        # MP3 stays behind the capability gate (JPEG now decodes for real)
         with pytest.raises(NotImplementedError):
-            MM._parse_header(b"\xff\xd8\xff\xe0 fake jpeg")
+            MM._parse_header(b"ID3\x03\x00" + bytes(32))
 
 
 class TestStreaming:
@@ -206,9 +207,12 @@ class TestRealFormats:
         assert got["bmp-1"].kind == "image" and got["bmp-1"].n_frames == 1
 
     def test_compressed_formats_still_stubbed(self):
-        # JPEG remains behind the capability gate (PNG is now decoded for real)
+        # MP4 remains behind the capability gate (PNG and baseline JPEG are
+        # now decoded for real); a malformed JPEG raises ValueError instead
         with pytest.raises(NotImplementedError):
-            MM._parse_header(b"\xff\xd8\xff\xe0" + bytes(32))
+            MM._parse_header(bytes(4) + b"ftypisom" + bytes(24))
+        with pytest.raises(ValueError):
+            MM._parse_header(b"\xff\xd8\x00\x00 truncated jpeg")
 
     def test_riff_non_wave_falls_through_to_gate(self):
         """ADVICE r3: a WEBP/AVI RIFF container must not die inside the WAV

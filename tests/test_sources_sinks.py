@@ -70,3 +70,81 @@ class TestGzipAndProjection:
         import numpy as np
 
         assert np.array_equal(pruned.geometry.vertices, full.geometry.vertices)
+
+
+class TestTilesetMetadataProto:
+    """Proto3 tileset metadata per spec/schema/mlt_tileset_metadata.proto —
+    the serialization the reference defines but only ships as JSON
+    (MltConverter.createTilesetMetadata builds the object; VERDICT r3 #6)."""
+
+    def _layers(self):
+        from maplibre_tile_spec_spark.functions import mlt_cli as CLI
+
+        data = open(
+            "/root/reference/test/fixtures/omt/10_530_682.mvt", "rb"
+        ).read()
+        return CLI.mvt_to_layers(data)
+
+    def test_roundtrip_against_schema(self, tmp_path):
+        import os
+
+        import pytest as _pytest
+
+        if not os.path.exists("/root/reference/test/fixtures/omt/10_530_682.mvt"):
+            _pytest.skip("reference fixtures not available")
+        from maplibre_tile_spec_spark.sources import tileset_proto as TP
+
+        layers = self._layers()
+        path = str(tmp_path / "tileset.pbf")
+        n = TP.write_tileset_metadata(
+            path,
+            layers,
+            name="omt",
+            attribution="test",
+            min_zoom=0,
+            max_zoom=14,
+            bounds=(-180.0, -85.05, 180.0, 85.05),
+            center=(6.08, 46.18),
+        )
+        data = open(path, "rb").read()
+        assert len(data) == n
+        parsed = TP.parse_tileset_metadata(data)
+        assert parsed["version"] == 1
+        assert parsed["name"] == "omt" and parsed["max_zoom"] == 14
+        assert parsed["bounds"][0] == -180.0 and len(parsed["center"]) == 2
+        assert [t["name"] for t in parsed["feature_tables"]] == [l.name for l in layers]
+        by_name = {t["name"]: t for t in parsed["feature_tables"]}
+        for layer in layers:
+            cols = by_name[layer.name]["columns"]
+            # id first (with the signed-long width flag), geometry second
+            assert cols[0]["kind"] == "id"
+            assert cols[0].get("long_id", False) == layer.has_long_ids
+            assert cols[1]["kind"] == "geometry"
+            got_props = {(c["name"], c["kind"], c["nullable"]) for c in cols[2:]}
+            want = {(p.name, p.type, p.nullable) for p in layer.props}
+            assert got_props == want
+
+    def test_struct_column_children(self):
+        from maplibre_tile_spec_spark.functions import mlt_codec as C
+        from maplibre_tile_spec_spark.sources import tileset_proto as TP
+
+        import numpy as np
+
+        g = C.GeometryColumn(
+            types=np.array([C.MLT_POINT]),
+            num_geometries=np.array([], dtype=np.int64),
+            num_parts=np.array([], dtype=np.int64),
+            num_rings=np.array([], dtype=np.int64),
+            vertices=np.array([1, 2], dtype=np.int64),
+        )
+        layer = C.LayerData(
+            name="names",
+            extent=4096,
+            geometry=g,
+            structs=[C.StructColumn("name", [(":de", ["a"]), (":en", ["b"])])],
+        )
+        parsed = TP.parse_tileset_metadata(TP.tileset_metadata_proto([layer]))
+        col = parsed["feature_tables"][0]["columns"][1]
+        assert col["kind"] == "struct" and col["name"] == "name"
+        assert [c["name"] for c in col["children"]] == [":de", ":en"]
+        assert all(c["type"] == "string" for c in col["children"])

@@ -222,3 +222,22 @@ class TestAutoSalt:
             for r in tiler.encode_tiles(features, zoom=8, n_salt=1).collect()
         }
         assert cold_auto == cold_one
+
+
+class TestSaltCompressionBound:
+    def test_hot_tile_salting_compression_bound(self, spark, feats):
+        """VERDICT r3 #7: salted parts encode independent dictionaries, so a
+        fanned-out hot tile may compress worse than its unsalted ideal. Pin
+        the regression: on a pathological hot tile (every feature in one z0
+        tile, 8-way fan-out) the salted tile must stay within 10% of the
+        single-block encode; the delta is per-part stream metadata + vertex
+        dictionary restarts."""
+        _, features = feats
+        n = features.count()
+        salted = tiler.encode_tiles(
+            features, zoom=0, n_salt="auto", salt_target=max(1, n // 8)
+        ).first()
+        unsalted = tiler.encode_tiles(features, zoom=0, n_salt=1).first()
+        assert salted.n_features == unsalted.n_features == n
+        ratio = salted.byte_size / unsalted.byte_size
+        assert ratio <= 1.10, f"salting cost {ratio:.3f}x > 1.10x bound"
