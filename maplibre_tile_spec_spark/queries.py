@@ -96,8 +96,8 @@ def _knn_queries_values() -> str:
 
 _PTS_SQL = """
 SELECT event_id AS pid,
-       -125.0 + (event_id * 2654435761 % 1000000) / 1000000.0 * 59.0 AS lon,
-       24.0 + ((event_id * 40503 + 7) % 1000000) / 1000000.0 * 25.0 AS lat
+       -125.0 + ((event_id % 16777216) * 2654435761 % 1000000) / 1000000.0 * 59.0 AS lon,
+       24.0 + (((event_id % 16777216) * 40503 + 7) % 1000000) / 1000000.0 * 25.0 AS lat
 FROM events
 """
 
@@ -106,8 +106,14 @@ def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tables.load(spark, sf_dir, "events")
     return ev.select(
         F.col("event_id").alias("pid"),
-        (F.lit(-125.0) + (F.col("event_id") * 2654435761 % 1000000) / 1000000.0 * 59.0).alias("lon"),
-        (F.lit(24.0) + ((F.col("event_id") * 40503 + 7) % 1000000) / 1000000.0 * 25.0).alias("lat"),
+        (
+            F.lit(-125.0)
+            + ((F.col("event_id") % 16777216) * 2654435761 % 1000000) / 1000000.0 * 59.0
+        ).alias("lon"),
+        (
+            F.lit(24.0)
+            + (((F.col("event_id") % 16777216) * 40503 + 7) % 1000000) / 1000000.0 * 25.0
+        ).alias("lat"),
     )
 
 
@@ -1084,19 +1090,25 @@ N_GEO_MEMBERS = 3  # multipoint members per doc in the clipped query
 
 
 def _member_lon(j: int):
-    return F.lit(-125.0) + ((F.col("event_id") * 2654435761 + F.lit(j * 97)) % 1000000) / 1000000.0 * 59.0
+    return (
+        F.lit(-125.0)
+        + (((F.col("event_id") % 16777216) * 2654435761 + F.lit(j * 97)) % 1000000) / 1000000.0 * 59.0
+    )
 
 
 def _member_lat(j: int):
-    return F.lit(24.0) + ((F.col("event_id") * 40503 + F.lit(7 + j * 131)) % 1000000) / 1000000.0 * 25.0
+    return (
+        F.lit(24.0)
+        + (((F.col("event_id") % 16777216) * 40503 + F.lit(7 + j * 131)) % 1000000) / 1000000.0 * 25.0
+    )
 
 
 def _member_lon_sql(j: int) -> str:
-    return f"-125.0 + ((event_id * 2654435761 + {j * 97}) % 1000000) / 1000000.0 * 59.0"
+    return f"-125.0 + (((event_id % 16777216) * 2654435761 + {j * 97}) % 1000000) / 1000000.0 * 59.0"
 
 
 def _member_lat_sql(j: int) -> str:
-    return f"24.0 + ((event_id * 40503 + {7 + j * 131}) % 1000000) / 1000000.0 * 25.0"
+    return f"24.0 + (((event_id % 16777216) * 40503 + {7 + j * 131}) % 1000000) / 1000000.0 * 25.0"
 
 
 def _geo_docs_from_events(spark: SparkSession, sf_dir: str, multi: bool = False) -> DataFrame:
