@@ -189,6 +189,9 @@ def run_bench(cpus: int, sf_dir: str, scaling_only: bool = False) -> dict:
                 # the next measurement
                 spark.catalog.clearCache()
             timings[name] = best
+    # own process-tree CPU (python + JVM + Arrow workers), read BEFORE the
+    # JVM is torn down — the scaling covariate's "ours" term
+    own_tree_cpu = _tree_cpu_sec(os.getpid())
     spark.stop()
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -200,6 +203,7 @@ def run_bench(cpus: int, sf_dir: str, scaling_only: bool = False) -> dict:
         "sf": float(sf),
         "cpus": cpus,
         "docs_pipeline": pipeline,
+        "own_tree_cpu_sec": round(own_tree_cpu, 2),
     }
 
 
@@ -297,6 +301,35 @@ def _burn(_):
     return s
 
 
+def _tree_cpu_sec(root_pid: int) -> float:
+    """Total CPU seconds (utime+stime) of ``root_pid`` and every live
+    descendant, from /proc. Needed because pyspark's JVM is terminated, not
+    reaped — its CPU never reaches the parent's rusage(RUSAGE_CHILDREN)
+    (measured: a 4-core Spark job showed 0.04 s of 'children' CPU)."""
+    hz = os.sysconf("SC_CLK_TCK")
+    procs: dict[int, tuple[int, float]] = {}
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                rest = f.read().rsplit(")", 1)[1].split()
+        except OSError:
+            continue
+        procs[int(pid)] = (int(rest[1]), (int(rest[11]) + int(rest[12])) / hz)
+
+    def under(pid: int) -> bool:
+        seen = set()
+        while pid > 1 and pid not in seen:
+            if pid == root_pid:
+                return True
+            seen.add(pid)
+            pid = procs.get(pid, (0, 0.0))[0]
+        return False
+
+    return sum(cpu for pid, (_pp, cpu) in procs.items() if pid == root_pid or under(pid))
+
+
 def _proc_stat_busy() -> float:
     """System-wide busy CPU seconds (all cores, everything except
     idle/iowait) since boot."""
@@ -328,10 +361,17 @@ def _scaling_child(cpus: int, env: dict) -> dict:
     wall = time.perf_counter() - t0
     busy1 = _proc_stat_busy()
     ru1 = resource.getrusage(resource.RUSAGE_CHILDREN)
-    ours = (ru1.ru_utime + ru1.ru_stime) - (ru0.ru_utime + ru0.ru_stime)
-    external_cores = max(0.0, (busy1 - busy0) - ours) / max(wall, 1e-9)
     line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
     r = json.loads(line)
+    # "ours" = the child's own process-tree CPU (python + JVM + workers),
+    # self-reported from /proc before JVM teardown; the parent's rusage is
+    # kept as a floor (pyspark kills, not reaps, its JVM — rusage alone
+    # misses nearly all of the child's CPU)
+    ours = max(
+        r.get("own_tree_cpu_sec", 0.0),
+        (ru1.ru_utime + ru1.ru_stime) - (ru0.ru_utime + ru0.ru_stime),
+    )
+    external_cores = max(0.0, (busy1 - busy0) - ours) / max(wall, 1e-9)
     r["covariate"] = {
         "wall_sec": round(wall, 2),
         "own_cpu_sec": round(ours, 2),
