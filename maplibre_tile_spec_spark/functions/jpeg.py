@@ -80,7 +80,9 @@ class _BitReader:
                 raise EOFError("marker inside entropy stream")
         else:
             self.pos += 1
-        self.bits = (self.bits << 8) | b
+        # keep only the unread bits: without the mask the accumulator grows
+        # one Python-int limb per scan byte and decode turns quadratic
+        self.bits = ((self.bits << 8) | b) & ((1 << (self.nbits + 8)) - 1)
         self.nbits += 8
 
     def read_bit(self) -> int:
@@ -181,6 +183,10 @@ def decode_baseline_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
             ns = seg[0]
+            if comps and ns < len(comps):
+                raise NotImplementedError(
+                    "non-interleaved (multi-scan) baseline JPEG"
+                )
             scan = []
             for i in range(ns):
                 cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]

@@ -284,17 +284,36 @@ _REAL_DECODERS = {
 }
 
 
+#: malformed/unsupported payloads must fall through to the library gate,
+#: not kill the Arrow batch: beyond the decoders' deliberate ValueError /
+#: NotImplementedError, truncated or corrupt blobs surface as IndexError /
+#: struct.error / EOFError (JPEG bit reader, short segments), zlib.error
+#: (corrupt IDAT), KeyError/OverflowError (bad tables)
+_DECODE_ERRORS = (
+    ValueError,
+    NotImplementedError,
+    IndexError,
+    KeyError,
+    EOFError,
+    OverflowError,
+    struct.error,
+)
+
+
 def _parse_header(payload: bytes) -> tuple[str, int, int, int, int, bytes]:
     if payload[:4] != _MAGIC:
+        import zlib
+
         matched_err: Exception | None = None
         for magic, dec in _REAL_DECODERS.items():
             if payload[: len(magic)] == magic:
                 try:
                     return dec(payload)
-                except (ValueError, NotImplementedError) as e:
-                    # e.g. a non-WAVE RIFF container (WEBP/AVI) or an
-                    # interlaced PNG: fall through to the library gate
-                    # instead of failing the whole batch (ADVICE r3)
+                except (*_DECODE_ERRORS, zlib.error) as e:
+                    # e.g. a non-WAVE RIFF container (WEBP/AVI), an
+                    # interlaced PNG, or a truncated/corrupt blob: fall
+                    # through to the library gate instead of failing the
+                    # whole batch (ADVICE r3 + r4 review)
                     matched_err = e
                     break
         real = _try_pil_decode(payload)
@@ -312,14 +331,32 @@ def _parse_header(payload: bytes) -> tuple[str, int, int, int, int, bytes]:
     return kind, w, h, frames, rate, payload[15:]
 
 
-def media_features(media: DataFrame) -> DataFrame:
+def media_features(media: DataFrame, on_error: str = "raise") -> DataFrame:
     """Decode headers + compute a deterministic content digest feature per
-    blob (the 'embedding' stand-in). One Arrow batch at a time."""
+    blob (the 'embedding' stand-in). One Arrow batch at a time.
+
+    ``on_error="skip"`` drops undecodable blobs instead of failing the
+    task — at corpus scale one corrupt JPEG must not kill the job; the
+    default stays strict for test/oracle determinism."""
+    import zlib
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = [bytes(p) for p in pdf["payload"]]
-            headers = [_parse_header(p) for p in payloads]
+            if on_error == "skip":
+                keep, headers = [], []
+                for i, p in enumerate(payloads):
+                    try:
+                        headers.append(_parse_header(p))
+                        keep.append(i)
+                    except (*_DECODE_ERRORS, zlib.error):
+                        continue
+                payloads = [payloads[i] for i in keep]
+                pdf = pdf.iloc[keep]
+                if not payloads:
+                    continue
+            else:
+                headers = [_parse_header(p) for p in payloads]
             lens = {len(p) for p in payloads}
             if len(lens) == 1:
                 # uniform blobs: one stacked matrix, vectorized statistics

@@ -658,12 +658,23 @@ def transcode_mvt_tiles(
             rows = []
             for z, x, y, blob in zip(pdf["z"], pdf["x"], pdf["y"], pdf["tile"]):
                 mvt = bytes(blob)
-                mlt = CLI.convert_mvt(mvt, use_fastpfor=use_fastpfor, use_fsst=use_fsst)
-                rows.append((int(z), int(x), int(y), len(mvt), len(mlt), mlt))
+                # per-tile error row instead of killing the job: the
+                # reference converter itself rejects some real tiles
+                # (mixed-type properties without --coerce), and at corpus
+                # scale one such tile must not abort the whole transcode
+                try:
+                    mlt = CLI.convert_mvt(mvt, use_fastpfor=use_fastpfor, use_fsst=use_fsst)
+                    rows.append((int(z), int(x), int(y), len(mvt), len(mlt), mlt, None))
+                except (ValueError, NotImplementedError) as e:
+                    rows.append((int(z), int(x), int(y), len(mvt), None, None, str(e)))
             yield pd.DataFrame(
-                rows, columns=["z", "x", "y", "mvt_bytes", "mlt_bytes", "tile"]
+                rows, columns=["z", "x", "y", "mvt_bytes", "mlt_bytes", "tile", "error"]
             )
 
     return tiles.mapInPandas(
-        tc, schema="z int, x int, y int, mvt_bytes long, mlt_bytes long, tile binary"
+        tc,
+        schema=(
+            "z int, x int, y int, mvt_bytes long, mlt_bytes long, "
+            "tile binary, error string"
+        ),
     )

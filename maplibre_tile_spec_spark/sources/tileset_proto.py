@@ -40,14 +40,8 @@ _LOGICAL_ID = 0
 
 
 def _pb_varint(v: int) -> bytes:
-    out = bytearray()
-    v &= 0xFFFFFFFFFFFFFFFF
-    while True:
-        if v < 0x80:
-            out.append(v)
-            return bytes(out)
-        out.append((v & 0x7F) | 0x80)
-        v >>= 7
+    # same LEB128 the codec already implements — reuse it
+    return C._varint1(v)
 
 
 def _field_varint(num: int, v: int) -> bytes:

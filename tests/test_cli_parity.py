@@ -143,5 +143,23 @@ def test_distributed_mvt_transcode(spark):
         want = CLI.convert_mvt(open(f"{FIX}/{rel}", "rb").read(), use_fsst=True)
         assert bytes(got[i].tile) == want
         assert got[i].mlt_bytes == len(want)
+        assert got[i].error is None
     plan = tiler.transcode_mvt_tiles(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # embarrassingly parallel, no shuffle
+
+
+@requires_fixtures
+def test_distributed_transcode_emits_error_rows(spark):
+    """One unconvertible tile (the reference rejects it too) must become an
+    error row, not abort the distributed job."""
+    from maplibre_tile_spec_spark.operators import tiler
+
+    rows = [
+        (10, 0, 0, open(f"{FIX}/simple/line-boolean.mvt", "rb").read()),
+        (10, 1, 0, open(f"{FIX}/amazon_here/5_16_10.mvt", "rb").read()),  # mixed-type props
+    ]
+    df = spark.createDataFrame(rows, "z int, x int, y int, tile binary")
+    got = {r.x: r for r in tiler.transcode_mvt_tiles(df).collect()}
+    assert got[0].error is None and got[0].mlt_bytes > 0
+    assert got[1].error is not None and "mismatched types" in got[1].error
+    assert got[1].tile is None

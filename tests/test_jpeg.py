@@ -241,3 +241,32 @@ class TestBaselineJpeg:
         got = MM.media_features(media).collect()[0]
         assert got.kind == "image" and got.n_frames == 1
         assert got.n_bytes == len(blob)
+
+    def test_media_features_skip_mode(self, spark):
+        """on_error='skip': a truncated JPEG is dropped, the rest of the
+        batch survives (one corrupt blob must not kill a corpus job)."""
+        from maplibre_tile_spec_spark.operators import multimodal as MM
+
+        rng = np.random.RandomState(2)
+        good = encode_jpeg(rng.randint(0, 256, size=(8, 8), dtype=np.uint8))
+        rows = [
+            ("ok", "image", 8, 8, 1, 0, good),
+            ("bad", "image", 8, 8, 1, 0, good[: len(good) // 2]),
+        ]
+        media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+        got = MM.media_features(media, on_error="skip").collect()
+        assert [r.media_ref for r in got] == ["ok"]
+        with pytest.raises(Exception):
+            MM.media_features(media).collect()  # strict default still raises
+
+    def test_noninterleaved_multiscan_rejected(self):
+        # craft a 3-component SOS declaring only 1 component
+        rng = np.random.RandomState(9)
+        blob = bytearray(encode_jpeg(rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)))
+        i = blob.index(b"\xff\xda")
+        # SOS: len=8, ns=1, comp 1
+        new_sos = b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+        old_len = struct.unpack(">H", blob[i + 2 : i + 4])[0]
+        blob[i : i + 2 + old_len] = new_sos
+        with pytest.raises(NotImplementedError, match="non-interleaved"):
+            J.decode_baseline_jpeg(bytes(blob))
