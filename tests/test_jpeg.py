@@ -112,7 +112,14 @@ def encode_jpeg(img: np.ndarray, subsample=False, restart_interval=0) -> bytes:
         y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
         cb = -0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2] + 128
         cr = 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2] + 128
-        if subsample:
+        if subsample == "422":
+            def downx(p):
+                ww = (w + 1) // 2 * 2
+                pp = np.pad(p, ((0, 0), (0, ww - w)), mode="edge")
+                return (pp[:, 0::2] + pp[:, 1::2]) / 2
+            planes = [y, downx(cb), downx(cr)]
+            samp = [(2, 1), (1, 1), (1, 1)]
+        elif subsample:
             def down(p):
                 hh = (h + 1) // 2 * 2
                 ww = (w + 1) // 2 * 2
@@ -270,3 +277,16 @@ class TestBaselineJpeg:
         blob[i : i + 2 + old_len] = new_sos
         with pytest.raises(NotImplementedError, match="non-interleaved"):
             J.decode_baseline_jpeg(bytes(blob))
+
+    def test_rgb_422_subsampled(self):
+        # horizontal-only chroma subsampling (4:2:2): decoder upsamples x only
+        yy, xx = np.mgrid[0:8, 0:16]
+        img = np.stack(
+            [(yy * 16).astype(np.uint8), (xx * 8).astype(np.uint8), ((yy * xx) % 256).astype(np.uint8)],
+            axis=-1,
+        )
+        blob = encode_jpeg(img, subsample="422")
+        w, h, nc, body = J.decode_baseline_jpeg(blob)
+        assert (w, h, nc) == (16, 8, 3)
+        got = np.frombuffer(body, np.uint8).reshape(8, 16, 3)
+        assert np.abs(got.astype(int) - img.astype(int)).mean() <= 8
