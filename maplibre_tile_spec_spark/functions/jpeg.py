@@ -110,8 +110,15 @@ class _BitReader:
         self.nbits = 0
 
     def skip_restart(self) -> None:
-        # reader sits just before the FF Dn marker bytes
+        # reader sits just before the FF Dn marker bytes; verify so a
+        # corrupt stream fails loudly instead of desyncing (ADVICE r4)
         self.align()
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or not (0xD0 <= self.data[self.pos + 1] <= 0xD7)
+        ):
+            raise ValueError("expected RST marker at MCU-boundary")
         self.pos += 2
 
 

@@ -33,6 +33,13 @@ import numpy as np
 from maplibre_tile_spec_spark.functions import kernels as K
 
 TAG_EMBEDDED = 1
+#: frame tag for layers that carry beyond-reference extension type codes
+#: (GEOMETRY_Z/LIST/MAP/VEC/RANGE_MAP/DATE/TIMESTAMP/JSON). A distinct tag
+#: makes extension tiles self-describing: reference decoders (which only
+#: accept tag 0x01) skip or fail fast instead of mis-parsing, and stored
+#: corpora stay unambiguous if upstream ever assigns codes 32–48. Chosen
+#: outside the reference's tag space (MltDecoder.java only defines 1).
+TAG_EXTENDED = 2
 
 # MLT GeometryType ordinals (converter/geometry/GeometryType.java)
 MLT_POINT, MLT_LINESTRING, MLT_POLYGON, MLT_MULTIPOINT, MLT_MULTILINESTRING, MLT_MULTIPOLYGON = range(6)
@@ -798,7 +805,10 @@ def encode_layer(layer: LayerData) -> bytes:
         meta += _varint1(TC_RANGE_MAP + (1 if rcol.nullable else 0)) + _put_string(rcol.name)
         body += encode_range_map_column(rcol, use_fsst=layer.use_fsst)
     payload = meta + body
-    tag = _varint1(TAG_EMBEDDED)
+    # content-driven tag: only layers actually carrying extension codes get
+    # the extended frame tag, so extensions=True alone never makes an
+    # otherwise reference-compatible tile undecodable by reference decoders
+    tag = _varint1(TAG_EXTENDED if uses_extensions else TAG_EMBEDDED)
     return K.varint_encode(np.array([len(payload) + len(tag)], dtype=np.uint64)) + tag + payload
 
 
@@ -844,7 +854,7 @@ def decode_tile(
         v, pos = K.varint_decode(buf, 1, pos)
         tag = int(v[0])
         body_end = start + length
-        if tag == TAG_EMBEDDED:
+        if tag in (TAG_EMBEDDED, TAG_EXTENDED):
             if layers is not None:
                 name, _ = _get_string(buf, pos)
                 if name not in layers:
@@ -876,17 +886,21 @@ def reencode_tile(buf: bytes, use_fsst: bool = True, fixture_rules: bool = True)
         v, pos = K.varint_decode(buf, 1, pos)
         tag = int(v[0])
         body_end = start + length
-        if tag != TAG_EMBEDDED:
+        if tag not in (TAG_EMBEDDED, TAG_EXTENDED):
             # unknown frame: copy verbatim INCLUDING the full length varint
             out += bytes(buf[frame_start:body_end])
             pos = body_end
             continue
-        out += _reencode_layer(buf, pos, body_end, use_fsst=use_fsst, fixture_rules=fixture_rules)
+        out += _reencode_layer(
+            buf, pos, body_end, use_fsst=use_fsst, fixture_rules=fixture_rules, tag=tag
+        )
         pos = body_end
     return out
 
 
-def _reencode_layer(buf: bytes, pos: int, end: int, use_fsst: bool, fixture_rules: bool = True) -> bytes:
+def _reencode_layer(
+    buf: bytes, pos: int, end: int, use_fsst: bool, fixture_rules: bool = True, tag: int = TAG_EMBEDDED
+) -> bytes:
     name, pos = _get_string(buf, pos)
     v, pos = K.varint_decode(buf, 2, pos)
     extent, n_cols = int(v[0]), int(v[1])
@@ -1000,8 +1014,8 @@ def _reencode_layer(buf: bytes, pos: int, end: int, use_fsst: bool, fixture_rule
                 values, pos = _decode_scalar_column(buf, pos, scalar, nullable)
                 body += encode_prop_column(PropColumn(cname, scalar, values, nullable))
     payload = meta + body
-    tag = _varint1(TAG_EMBEDDED)
-    return K.varint_encode(np.array([len(payload) + len(tag)], dtype=np.uint64)) + tag + payload
+    tag_b = _varint1(tag)
+    return K.varint_encode(np.array([len(payload) + len(tag_b)], dtype=np.uint64)) + tag_b + payload
 
 
 def _skip_scalar_column(buf: bytes, pos: int, scalar: str, nullable: bool) -> int:
@@ -1516,7 +1530,7 @@ def inspect_tile(buf: bytes) -> list[dict]:
         v, pos = K.varint_decode(buf, 1, pos)
         tag = int(v[0])
         end = start + length
-        if tag != TAG_EMBEDDED:
+        if tag not in (TAG_EMBEDDED, TAG_EXTENDED):
             pos = end
             continue
         name, p = _get_string(buf, pos)

@@ -320,7 +320,16 @@ def _parse_header(payload: bytes) -> tuple[str, int, int, int, int, bytes]:
         if real is not None:
             return real
         if matched_err is not None:
-            raise matched_err
+            # stable exception surface for undecodable blobs whose magic
+            # matched (ADVICE r4): deliberate gate errors (ValueError /
+            # NotImplementedError) pass through; raw internal state errors
+            # (IndexError, struct.error, …) are wrapped in ValueError,
+            # chained so the cause stays visible
+            if isinstance(matched_err, (ValueError, NotImplementedError)):
+                raise matched_err
+            raise ValueError(
+                f"undecodable media blob (magic matched): {matched_err}"
+            ) from matched_err
         # >>> STUB: remaining compressed formats (MP3/MP4/WEBP, progressive
         # JPEG) need PIL / libav, which are not installed in this container.
         # WAV / PNG / baseline JPEG / BMP / PNM decode for real above with
@@ -357,7 +366,10 @@ def media_features(media: DataFrame, on_error: str = "raise") -> DataFrame:
                     continue
             else:
                 headers = [_parse_header(p) for p in payloads]
-            lens = {len(p) for p in payloads}
+            # key the uniform fast path on DECODED body lengths, not encoded
+            # payload lengths: equal-size compressed files (JPEG/PNG) can
+            # decode to different-size bodies (ADVICE r4)
+            lens = {len(h[5]) for h in headers}
             if len(lens) == 1:
                 # uniform blobs: one stacked matrix, vectorized statistics
                 bodies = np.frombuffer(b"".join(h[5] for h in headers), dtype=np.uint8)

@@ -82,6 +82,12 @@ def polygon_cover(
 #: join-side refine path that never collects geometry to the driver.
 PIP_BROADCAST_MAX_POLYS = 50_000
 
+#: probe-verdict memo keyed by the polygon plan's ``semanticHash()`` so
+#: iterative callers (e.g. a pipeline invoking :func:`pip_join` per batch on
+#: the same polygon table) pay the bounded probe job once, not per call
+#: (ADVICE r4). Bounded; cleared wholesale if it ever grows past 256 plans.
+_PIP_PROBE_CACHE: dict[tuple[int, int], bool] = {}
+
 
 def pip_join(
     points: DataFrame,
@@ -104,10 +110,22 @@ def pip_join(
     side is dimension-sized. Small → driver-parsed broadcast rings; large →
     co-located join + per-batch parse, so a 100-TB polygon side can never
     OOM the driver via a forgotten flag. Pass True/False to force a branch.
+
+    The probe is **eager** (one extra Spark job at plan-construction time)
+    but memoized per polygon plan (``semanticHash``), so iterative callers
+    pay it once; a True/False hint skips it entirely — no job runs before
+    the returned DataFrame is acted on.
     """
     if broadcast_polys == "auto":
-        probe = polys.limit(PIP_BROADCAST_MAX_POLYS + 1).count()
-        broadcast_polys = probe <= PIP_BROADCAST_MAX_POLYS
+        key = (polys.semanticHash(), PIP_BROADCAST_MAX_POLYS)
+        cached = _PIP_PROBE_CACHE.get(key)
+        if cached is None:
+            probe = polys.limit(PIP_BROADCAST_MAX_POLYS + 1).count()
+            cached = probe <= PIP_BROADCAST_MAX_POLYS
+            if len(_PIP_PROBE_CACHE) >= 256:
+                _PIP_PROBE_CACHE.clear()
+            _PIP_PROBE_CACHE[key] = cached
+        broadcast_polys = cached
     cover = polygon_cover(polys, levels=levels)
     if broadcast_polys:
         cover = F.broadcast(cover)

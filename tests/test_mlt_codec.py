@@ -737,3 +737,68 @@ class TestExtensionGate:
             C.encode_layer(la)
         la.extensions = True
         assert C.encode_layer(la)
+
+    @staticmethod
+    def _frame_tag(blob):
+        from maplibre_tile_spec_spark.functions import kernels as K
+
+        _, pos = K.varint_decode(blob, 1, 0)  # length varint
+        v, _ = K.varint_decode(blob, 1, pos)
+        return int(v[0])
+
+    def _ext_layer(self):
+        import numpy as np
+
+        g = C.GeometryColumn(
+            types=np.zeros(2, dtype=np.int64),
+            num_geometries=np.empty(0, np.int64),
+            num_parts=np.empty(0, np.int64),
+            num_rings=np.empty(0, np.int64),
+            vertices=np.arange(4, dtype=np.int64),
+        )
+        return C.LayerData(
+            name="l", extent=4096, geometry=g,
+            lists=[C.ListColumn("tags", "string", [["a"], ["b"]])],
+            extensions=True,
+        )
+
+    def test_extension_tile_gets_distinct_frame_tag(self):
+        """VERDICT r4 #6: extension tiles are self-describing — frame tag 2,
+        not the reference's 0x01, so reference decoders fail fast instead of
+        mis-parsing codes 32-48."""
+        blob = C.encode_layer(self._ext_layer())
+        assert self._frame_tag(blob) == C.TAG_EXTENDED
+        # still decodes, and the transcode path re-emits the same tag bytes
+        out = C.decode_tile(blob)[0]
+        assert out.props["tags"] == [["a"], ["b"]]
+        assert C.reencode_tile(blob, fixture_rules=False) == blob
+
+    def test_extensions_flag_without_extension_content_stays_reference_tag(self):
+        import numpy as np
+
+        g = C.GeometryColumn(
+            types=np.zeros(2, dtype=np.int64),
+            num_geometries=np.empty(0, np.int64),
+            num_parts=np.empty(0, np.int64),
+            num_rings=np.empty(0, np.int64),
+            vertices=np.arange(4, dtype=np.int64),
+        )
+        la = C.LayerData(name="l", extent=4096, geometry=g, extensions=True)
+        assert self._frame_tag(C.encode_layer(la)) == C.TAG_EMBEDDED
+
+    def test_legacy_tag1_extension_tile_still_decodes(self):
+        """Backward compat: extension tiles written before the tag landed
+        (frame tag 0x01 + extension codes) must keep decoding."""
+        from maplibre_tile_spec_spark.functions import kernels as K
+        import numpy as np
+
+        blob = C.encode_layer(self._ext_layer())
+        _, pos = K.varint_decode(blob, 1, 0)
+        body = blob[pos + 1 :]  # strip the 1-byte tag varint
+        legacy = (
+            K.varint_encode(np.array([len(body) + 1], dtype=np.uint64))
+            + bytes([C.TAG_EMBEDDED])
+            + body
+        )
+        out = C.decode_tile(legacy)[0]
+        assert out.props["tags"] == [["a"], ["b"]]

@@ -214,6 +214,30 @@ class TestRealFormats:
         with pytest.raises(ValueError):
             MM._parse_header(b"\xff\xd8\x00\x00 truncated jpeg")
 
+    def test_equal_payload_different_body_sizes(self, spark):
+        """ADVICE r4 (medium): the uniform fast path must key on DECODED body
+        lengths — two equal-size encoded files can decode to different-size
+        bodies; stacking them misaligns rows or kills the batch."""
+        blob_a = b"P5\n4 4\n255\n" + bytes(range(16))  # 27-byte payload, 16-byte body
+        blob_b = b"P5\n15 1\n255\n" + bytes(range(100, 115))  # 27-byte payload, 15-byte body
+        assert len(blob_a) == len(blob_b)
+        media = spark.createDataFrame(
+            [("a", "image", 4, 4, 1, 0, blob_a), ("b", "image", 15, 1, 1, 0, blob_b)],
+            MM.MEDIA_SCHEMA,
+        ).coalesce(1)  # one Arrow batch → both blobs hit the same code path
+        got = {r.media_ref: r for r in MM.media_features(media).collect()}
+        assert got["a"].mean_byte == pytest.approx(np.arange(16).mean())
+        assert got["b"].mean_byte == pytest.approx(np.arange(100, 115).mean())
+
+    def test_internal_decode_errors_wrapped_in_valueerror(self):
+        """ADVICE r4: on the strict path, a truncated blob whose magic matched
+        surfaces one stable exception type (ValueError, cause chained), not a
+        raw struct.error/IndexError from decoder internals."""
+        # SOI + DQT marker with no segment bytes → struct.error internally
+        with pytest.raises(ValueError) as ei:
+            MM._parse_header(b"\xff\xd8\xff\xdb")
+        assert ei.value.__cause__ is not None
+
     def test_riff_non_wave_falls_through_to_gate(self):
         """ADVICE r3: a WEBP/AVI RIFF container must not die inside the WAV
         decoder — it falls through to the PIL gate and (PIL absent) raises

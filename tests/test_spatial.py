@@ -194,6 +194,31 @@ class TestCompactCover:
         auto_small = {(r.pid, r.poly_id) for r in S.pip_join(points, polys).collect()}
         assert auto_small == bc
 
+    def test_auto_probe_memoized_and_hint_runs_no_job(self, spark, points, polys, monkeypatch):
+        """VERDICT r4 #7 / ADVICE r4: the auto probe job runs once per polygon
+        plan (memoized on semanticHash), and a False hint constructs the plan
+        with zero Spark jobs.  Threshold forced below the polygon count so the
+        join branch (fully lazy — no driver collect) is taken."""
+        import maplibre_tile_spec_spark.operators.spatial as sp_mod
+
+        monkeypatch.setattr(sp_mod, "PIP_BROADCAST_MAX_POLYS", 5)
+        tracker = spark.sparkContext.statusTracker()
+
+        def n_jobs() -> int:
+            return len(tracker.getJobIdsForGroup(None))
+
+        sp_mod._PIP_PROBE_CACHE.clear()
+        before = n_jobs()
+        S.pip_join(points, polys)  # plan construction only — probe job fires
+        first = n_jobs() - before
+        assert first >= 1  # the bounded probe ran
+        before = n_jobs()
+        S.pip_join(points, polys)  # same polys plan → memo hit, no new job
+        assert n_jobs() - before == 0
+        before = n_jobs()
+        S.pip_join(points, polys, broadcast_polys=False)  # hinted → no probe
+        assert n_jobs() - before == 0
+
     def test_pip_results_identical_with_compaction(self, spark, points, polys):
         a = {(r.pid, r.poly_id) for r in S.pip_join(points, polys).collect()}
         # monkey-less comparison: run cover without compaction via param
