@@ -47,6 +47,7 @@ HEADLINE = [
     "pivot_events",
     "dedup_exact",
     "minhash_lsh_pairs",
+    "dedup_cluster",
     "ngram_jaccard",
     "simhash_pairs",
     "lang_id",

@@ -112,6 +112,28 @@ def varint_decode(buf: bytes | np.ndarray, count: int, offset: int = 0) -> tuple
     """
     if count == 0:
         return np.empty(0, dtype=np.uint64), offset
+    if count <= 4:
+        # scalar fast path: stream-metadata headers decode 1-2 varints at a
+        # time, 100k+ times per tile corpus — the vectorized path's numpy
+        # setup (frombuffer/flatnonzero/arange/reduceat) costs ~10× a plain
+        # byte loop at these sizes (decode-side profile, round 5)
+        out = np.empty(count, dtype=np.uint64)
+        p = offset
+        end = len(buf)
+        for i in range(count):
+            v = 0
+            shift = 0
+            while True:
+                if p >= end:
+                    raise ValueError(f"varint stream truncated: need {count} values")
+                b = int(buf[p])
+                p += 1
+                v |= (b & 0x7F) << shift
+                if b < 0x80:
+                    break
+                shift += 7
+            out[i] = v
+        return out, p
     data = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
     window = data[offset : offset + count * 10]  # max 10 bytes per varint
     term = np.flatnonzero(window < 0x80)

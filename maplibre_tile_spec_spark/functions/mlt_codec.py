@@ -1221,6 +1221,15 @@ def _decode_boolean_stream(buf: bytes, pos: int) -> tuple[np.ndarray, int]:
     return bits, pos + meta["byte_length"]
 
 
+def _merge_present(present: np.ndarray, vals: list) -> list:
+    """Scatter non-null values over the present bitmap → list with Nones.
+    Object-dtype scatter keeps the original Python values untouched and is
+    ~10× the per-row append loop it replaces (decode profile, round 5)."""
+    out = np.full(present.shape[0], None, dtype=object)
+    out[present] = np.asarray(vals, dtype=object)
+    return out.tolist()
+
+
 def _decode_scalar_column(buf: bytes, pos: int, scalar: str, nullable: bool) -> tuple[list, int]:
     present = None
     if nullable:
@@ -1243,14 +1252,7 @@ def _decode_scalar_column(buf: bytes, pos: int, scalar: str, nullable: bool) -> 
         raise ValueError(scalar)
     if present is None:
         return vals, pos
-    out, i = [], 0
-    for p in present:
-        if p:
-            out.append(vals[i])
-            i += 1
-        else:
-            out.append(None)
-    return out, pos
+    return _merge_present(present, vals), pos
 
 
 def _decode_string_column(buf: bytes, pos: int, n_streams: int, nullable: bool) -> tuple[list, int]:
@@ -1285,31 +1287,24 @@ def _decode_string_column(buf: bytes, pos: int, n_streams: int, nullable: bool) 
         # FSST dictionary: expand symbols then slice by dict lengths
         corpus = fsst_decode(sym_bytes, sym_lengths, dict_bytes)
         strings = _slice_strings(corpus, dict_lengths)
-        vals = [strings[int(i)] for i in offsets]
+        vals = [strings[i] for i in offsets.tolist()]
     elif dict_bytes is not None and dict_lengths is not None:
         strings = _slice_strings(dict_bytes, dict_lengths)
-        vals = [strings[int(i)] for i in offsets]
+        vals = [strings[i] for i in offsets.tolist()]
     else:
         strings = _slice_strings(sym_bytes, sym_lengths)
         vals = strings
     if present is None:
         return vals, pos
-    out, i = [], 0
-    for p in present:
-        if p:
-            out.append(vals[i])
-            i += 1
-        else:
-            out.append(None)
-    return out, pos
+    return _merge_present(present, vals), pos
 
 
 def _slice_strings(data: bytes, lengths: np.ndarray) -> list[str]:
     out = []
     o = 0
     for ln in lengths.tolist():
-        out.append(data[o : o + int(ln)].decode("utf-8"))
-        o += int(ln)
+        out.append(data[o : o + ln].decode("utf-8"))
+        o += ln
     return out
 
 
@@ -1705,21 +1700,57 @@ def fsst_encode(corpus: bytes, sample_limit: int = 30000) -> tuple[bytes, np.nda
 
 
 def fsst_decode(symbol_table: bytes, symbol_lengths: np.ndarray, compressed: bytes) -> bytes:
-    symbols = []
-    o = 0
-    for ln in symbol_lengths.tolist():
-        symbols.append(symbol_table[o : o + int(ln)])
-        o += int(ln)
-    out = bytearray()
-    data = memoryview(compressed)
-    i = 0
+    """Vectorized FSST expansion. Escape resolution: a 0xFF at a token
+    boundary consumes the next byte as a literal, so inside each maximal run
+    of consecutive 0xFF bytes the escapes sit at even offsets from the run
+    start (the byte before a run start is never 0xFF, hence always a token
+    boundary); an odd-length run's last escape consumes the byte after the
+    run. With escapes known, the output is one multi-range gather over a
+    flat table of the symbols plus the 256 single-byte literals."""
     n = len(compressed)
-    while i < n:
-        b = data[i]
-        if b == 255:
-            out.append(data[i + 1])
-            i += 2
-        else:
-            out.extend(symbols[b])
-            i += 1
-    return bytes(out)
+    if n == 0:
+        return b""
+    lens = symbol_lengths.astype(np.int64)
+    nsym = lens.shape[0]
+    nbytes_sym = int(lens.sum())
+    # flat table = symbol bytes ++ literal bytes 0..255; ids 256+b are the
+    # single-byte literals (symbol codes occupy 0..254; 255 is the escape)
+    flat = np.concatenate(
+        [
+            np.frombuffer(symbol_table, dtype=np.uint8, count=nbytes_sym),
+            np.arange(256, dtype=np.uint8),
+        ]
+    )
+    tbl_len = np.concatenate([lens, np.zeros(256 - nsym, np.int64), np.ones(256, np.int64)])
+    sym_off = np.concatenate(([0], np.cumsum(lens)))
+    tbl_off = np.concatenate(
+        [sym_off[:-1], np.zeros(256 - nsym, np.int64), nbytes_sym + np.arange(256)]
+    )
+    data = np.frombuffer(compressed, dtype=np.uint8)
+    ff = np.flatnonzero(data == 255)
+    if ff.shape[0]:
+        run_start = np.flatnonzero(np.diff(ff, prepend=-2) > 1)
+        starts = ff[run_start]
+        run_lens = np.diff(np.append(run_start, ff.shape[0]))
+        esc = np.concatenate(
+            [np.arange(r, r + ln, 2) for r, ln in zip(starts.tolist(), run_lens.tolist())]
+        )
+        if esc[-1] + 1 >= n:
+            raise ValueError("FSST stream ends inside an escape")
+        ids = data.astype(np.int64)
+        ids[esc] = 256 + data[esc + 1]
+        is_token = np.ones(n, dtype=bool)
+        is_token[esc + 1] = False
+        ids = ids[is_token]
+    else:
+        ids = data.astype(np.int64)
+    out_lens = tbl_len[ids]
+    out_starts = tbl_off[ids]
+    total = int(out_lens.sum())
+    ends = np.cumsum(out_lens)
+    gather = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(ends - out_lens, out_lens)
+        + np.repeat(out_starts, out_lens)
+    )
+    return flat[gather].tobytes()

@@ -311,10 +311,17 @@ def connected_components(
     Beyond-reference operator (the reference has no graph ops): this is the
     cluster-resolution step that keeps near-dup output linear in cluster
     count where pair output is O(c²) per cluster."""
+    # one cheap count sizes the iteration partitioning: a 255-edge candidate
+    # graph must not pay 32-partition shuffle scheduling per iteration, and a
+    # 10^10-edge graph must not funnel into one task. Upstream pair sources
+    # (lsh/simhash/ngram) return persisted DataFrames, so the count is free.
+    n_edges = pairs.count()
+    par = pairs.sparkSession.sparkContext.defaultParallelism
+    parts = max(1, min(4 * par, n_edges // 250_000 + 1))
     sym = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     edges = (
         sym.unionByName(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .repartition("v")
+        .repartition(parts, "v")
         .persist()
     )
     labels = (
@@ -333,7 +340,10 @@ def connected_components(
         jumped = merged.join(parent, merged["comp"] == parent["p_id"], "left").select(
             "id", F.coalesce("p_comp", "comp").alias("comp")
         )
-        labels = jumped.localCheckpoint(eager=True)
+        # LAZY checkpoint: the convergence aggregate below is the action
+        # that materializes it, so each iteration costs ONE Spark job
+        # (checkpoint + sum together), not two
+        labels = jumped.localCheckpoint(eager=False)
         s = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")).first()["s"]
         if s == prev:
             break

@@ -176,12 +176,14 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
 def _decode_jpeg(payload: bytes) -> tuple[str, int, int, int, int, bytes]:
-    """Real baseline JPEG decode — functions/jpeg.py (from-scratch T.81:
-    Huffman + dequant + IDCT + upsample + YCbCr). Progressive/12-bit raise
+    """Real baseline + progressive JPEG decode — functions/jpeg.py
+    (from-scratch T.81: Huffman + dequant + IDCT + upsample + YCbCr;
+    SOF2 spectral-selection/successive-approximation scans accumulate
+    coefficients across scans). Arithmetic-coded/12-bit raise
     NotImplementedError and fall through to the library gate."""
-    from maplibre_tile_spec_spark.functions.jpeg import decode_baseline_jpeg
+    from maplibre_tile_spec_spark.functions.jpeg import decode_jpeg
 
-    w, h, _nc, body = decode_baseline_jpeg(payload)
+    w, h, _nc, body = decode_jpeg(payload)
     return "image", w, h, 1, 0, body
 
 

@@ -183,6 +183,237 @@ def encode_jpeg(img: np.ndarray, subsample=False, restart_interval=0) -> bytes:
     return bytes(out)
 
 
+# progressive AC table additionally needs the EOBn run-length symbols
+# (r<<4, r=1..14); 176 symbols at 8 bits still satisfies Kraft
+_ACP_SYMBOLS = _AC_SYMBOLS + [r << 4 for r in range(1, 15)]
+_ACP_CODES = _canon_codes(_ACP_SYMBOLS, 8)
+
+
+def _plane_coeffs(plane, bh, bw):
+    """Pad to the MCU grid, forward-DCT each 8×8 block → (bh, bw, 64)
+    integer coefficients in zigzag order (all-ones quant)."""
+    ph, pw = bh * 8, bw * 8
+    p = np.pad(plane, ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])), mode="edge")
+    out = np.zeros((bh, bw, 64), np.int64)
+    for by in range(bh):
+        for bx in range(bw):
+            f = J._C @ (p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0) @ J._C.T
+            out[by, bx] = np.round(f).astype(np.int64).reshape(-1)[J.ZIGZAG]
+    return out
+
+
+def _enc_dc_first(bw, dc, pred, al):
+    sdc = int(dc) >> al  # arithmetic shift = T.81 DC point transform
+    diff = sdc - pred
+    s = _category(diff)
+    _emit(bw, _DC_CODES, s)
+    if s:
+        bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    return sdc
+
+
+def _enc_ac_first_scan(c, ss, se, al):
+    """First AC pass for one component's band: RLE + EOB runs over blocks."""
+    bw = _BitWriter()
+    state = {"eobrun": 0}
+
+    def flush_eob():
+        while state["eobrun"] > 0:
+            r = min(14, state["eobrun"].bit_length() - 1)
+            cnt = min(state["eobrun"], (1 << (r + 1)) - 1)
+            _emit(bw, _ACP_CODES, r << 4)
+            if r:
+                bw.write(cnt - (1 << r), r)
+            state["eobrun"] -= cnt
+
+    for by in range(c["sbh"]):
+        for bx in range(c["sbw"]):
+            q = c["coef"][by, bx]
+            svals = [
+                (abs(int(q[k])) >> al) * (1 if q[k] >= 0 else -1) for k in range(ss, se + 1)
+            ]
+            last = max((i for i, v in enumerate(svals) if v), default=-1)
+            if last < 0:
+                state["eobrun"] += 1
+                continue
+            flush_eob()
+            run = 0
+            for i in range(last + 1):
+                v = svals[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    _emit(bw, _ACP_CODES, 0xF0)
+                    run -= 16
+                s = _category(v)
+                _emit(bw, _ACP_CODES, (run << 4) | s)
+                bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last < se - ss:
+                state["eobrun"] += 1
+    flush_eob()
+    bw.flush()
+    return bytes(bw.out)
+
+
+def _enc_ac_refine_scan(c, ss, se, ah, al):
+    """AC successive-approximation refinement for one component's band,
+    mirroring the decoder's cursor walk exactly (T.81 G.2.3): correction
+    bits are emitted at the moment the decoder will read them."""
+    bw = _BitWriter()
+    state = {"eobrun": 0, "runbits": []}
+
+    def flush_eob():
+        if state["eobrun"] == 0:
+            return
+        r = state["eobrun"].bit_length() - 1
+        _emit(bw, _ACP_CODES, r << 4)
+        if r:
+            bw.write(state["eobrun"] - (1 << r), r)
+        for b in state["runbits"]:
+            bw.write(b, 1)
+        state["eobrun"] = 0
+        state["runbits"] = []
+
+    for by in range(c["sbh"]):
+        for bx in range(c["sbw"]):
+            q = c["coef"][by, bx]
+            vals = {k: int(q[k]) for k in range(ss, se + 1)}
+            hist = {k: abs(v) >> ah for k, v in vals.items()}
+            corr = {k: (abs(v) >> al) & 1 for k, v in vals.items()}
+            new_pos = [k for k in range(ss, se + 1) if hist[k] == 0 and (abs(vals[k]) >> al)]
+            if not new_pos:
+                state["eobrun"] += 1
+                state["runbits"] += [corr[k] for k in range(ss, se + 1) if hist[k] != 0]
+                if state["eobrun"] == 16384:
+                    flush_eob()
+                continue
+            flush_eob()
+            pos = ss
+            for k_new in new_pos:
+                r = sum(1 for i in range(pos, k_new) if hist[i] == 0)
+                while r > 15:
+                    _emit(bw, _ACP_CODES, 0xF0)
+                    cnt0 = 0
+                    while cnt0 < 16:
+                        if hist[pos] != 0:
+                            bw.write(corr[pos], 1)
+                        else:
+                            cnt0 += 1
+                        pos += 1
+                    r -= 16
+                _emit(bw, _ACP_CODES, (r << 4) | 1)
+                bw.write(1 if vals[k_new] > 0 else 0, 1)
+                while pos < k_new:
+                    if hist[pos] != 0:
+                        bw.write(corr[pos], 1)
+                    pos += 1
+                pos = k_new + 1
+            if pos <= se:
+                state["eobrun"] += 1
+                state["runbits"] += [corr[i] for i in range(pos, se + 1) if hist[i] != 0]
+    flush_eob()
+    bw.flush()
+    return bytes(bw.out)
+
+
+def encode_progressive_jpeg(img: np.ndarray, subsample=False) -> bytes:
+    """img → progressive JPEG (SOF2): interleaved DC-first (Al=1), AC-first
+    per band per component (Al=1), DC refinement, AC refinements (Al=0).
+    Exercises spectral selection, successive approximation, and EOB runs."""
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if gray:
+        planes = [img.astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        rgb = img.astype(np.float64)
+        y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        cb = -0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2] + 128
+        cr = 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2] + 128
+        if subsample:
+            def down(p):
+                hh = (h + 1) // 2 * 2
+                ww = (w + 1) // 2 * 2
+                pp = np.pad(p, ((0, hh - h), (0, ww - w)), mode="edge")
+                return (pp[0::2, 0::2] + pp[1::2, 0::2] + pp[0::2, 1::2] + pp[1::2, 1::2]) / 4
+            planes = [y, down(cb), down(cr)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
+    nc = len(planes)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    comps = []
+    for p, (sh, sv) in zip(planes, samp):
+        bh, bw_ = mcuy * sv, mcux * sh
+        comps.append(
+            {
+                "coef": _plane_coeffs(p, bh, bw_),
+                "h": sh,
+                "v": sv,
+                "sbw": (-(-w * sh // hmax) + 7) // 8,
+                "sbh": (-(-h * sv // vmax) + 7) // 8,
+            }
+        )
+
+    out = bytearray(b"\xff\xd8")
+    qtable = bytes([0]) + bytes([1] * 64)
+    out += b"\xff\xdb" + struct.pack(">H", len(qtable) + 2) + qtable
+    out += _dht(0, 0, _DC_SYMBOLS, 4)
+    out += _dht(1, 0, _ACP_SYMBOLS, 8)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for i, (sh, sv) in enumerate(samp):
+        sof += bytes([i + 1, (sh << 4) | sv, 0])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+
+    def sos_hdr(comp_idx, ss, se, ah, al):
+        body = bytes([len(comp_idx)])
+        for i in comp_idx:
+            body += bytes([i + 1, 0x00])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", len(body) + 2) + body
+
+    def dc_scan(refine):
+        bw = _BitWriter()
+        preds = [0] * nc
+        if nc == 1:
+            c = comps[0]
+            order = [(0, by, bx) for by in range(c["sbh"]) for bx in range(c["sbw"])]
+        else:
+            order = [
+                (ci, my * c["v"] + by, mx * c["h"] + bx)
+                for my in range(mcuy)
+                for mx in range(mcux)
+                for ci, c in enumerate(comps)
+                for by in range(c["v"])
+                for bx in range(c["h"])
+            ]
+        for ci, by, bx in order:
+            dc = int(comps[ci]["coef"][by, bx, 0])
+            if refine:
+                bw.write(dc & 1, 1)
+            else:
+                preds[ci] = _enc_dc_first(bw, dc, preds[ci], 1)
+        bw.flush()
+        return bytes(bw.out)
+
+    out += sos_hdr(range(nc), 0, 0, 0, 1) + dc_scan(refine=False)
+    for ss, se in [(1, 5), (6, 63)]:
+        for ci, c in enumerate(comps):
+            out += sos_hdr([ci], ss, se, 0, 1) + _enc_ac_first_scan(c, ss, se, 1)
+    out += sos_hdr(range(nc), 0, 0, 1, 0) + dc_scan(refine=True)
+    for ss, se in [(1, 5), (6, 63)]:
+        for ci, c in enumerate(comps):
+            out += sos_hdr([ci], ss, se, 1, 0) + _enc_ac_refine_scan(c, ss, se, 1, 0)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 class TestBaselineJpeg:
     def test_gray_near_lossless(self):
         rng = np.random.RandomState(42)
@@ -241,11 +472,12 @@ class TestBaselineJpeg:
         with pytest.raises(ValueError, match="RST"):
             J.decode_baseline_jpeg(bytes(blob))
 
-    def test_progressive_rejected(self):
+    def test_extended_sequential_rejected(self):
+        # SOF2 now decodes; SOF1 (extended sequential) remains gated
         rng = np.random.RandomState(5)
         blob = bytearray(encode_jpeg(rng.randint(0, 256, size=(8, 8), dtype=np.uint8)))
         i = blob.index(b"\xff\xc0")
-        blob[i + 1] = 0xC2  # SOF0 → SOF2
+        blob[i + 1] = 0xC1  # SOF0 → SOF1
         with pytest.raises(NotImplementedError, match="non-baseline"):
             J.decode_baseline_jpeg(bytes(blob))
 
@@ -301,3 +533,71 @@ class TestBaselineJpeg:
         assert (w, h, nc) == (16, 8, 3)
         got = np.frombuffer(body, np.uint8).reshape(8, 16, 3)
         assert np.abs(got.astype(int) - img.astype(int)).mean() <= 8
+
+
+class TestProgressiveJpeg:
+    """SOF2 decode vs the independent progressive test encoder above
+    (VERDICT r4 #2). The scan plan uses DC+AC successive approximation
+    (Al=1→0), two spectral bands, and EOB runs, so every Annex G decode
+    path runs. Because the approximation bits fully restore each integer
+    coefficient, the progressive decode must match the BASELINE decode of
+    the same image almost exactly (same coefficients; only the vectorized
+    vs per-block IDCT float ordering differs)."""
+
+    def _cmp_with_baseline(self, img, subsample=False):
+        pw, ph, pnc, pbody = J.decode_jpeg(encode_progressive_jpeg(img, subsample=subsample))
+        bw, bh, bnc, bbody = J.decode_jpeg(encode_jpeg(img, subsample=subsample))
+        assert (pw, ph, pnc) == (bw, bh, bnc)
+        pa = np.frombuffer(pbody, np.uint8).astype(int)
+        ba = np.frombuffer(bbody, np.uint8).astype(int)
+        assert np.abs(pa - ba).max() <= 1  # float summation-order only
+        return pw, ph, pnc, pbody
+
+    def test_gray_matches_baseline_and_original(self):
+        rng = np.random.RandomState(21)
+        img = rng.randint(0, 256, size=(16, 24), dtype=np.uint8)
+        w, h, nc, body = self._cmp_with_baseline(img)
+        got = np.frombuffer(body, np.uint8).reshape(16, 24)
+        assert np.abs(got.astype(int) - img.astype(int)).max() <= 3
+
+    def test_gray_non_multiple_of_8(self):
+        rng = np.random.RandomState(22)
+        img = rng.randint(0, 256, size=(13, 19), dtype=np.uint8)
+        self._cmp_with_baseline(img)
+
+    def test_rgb_444(self):
+        rng = np.random.RandomState(23)
+        img = rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+        self._cmp_with_baseline(img)
+
+    def test_rgb_420_subsampled(self):
+        yy, xx = np.mgrid[0:16, 0:16]
+        img = np.stack(
+            [(yy * 8).astype(np.uint8), (xx * 8).astype(np.uint8), ((yy + xx) * 4).astype(np.uint8)],
+            axis=-1,
+        )
+        self._cmp_with_baseline(img, subsample=True)
+
+    def test_smooth_image_exercises_eob_runs(self):
+        # a constant image has empty AC bands in every block → the high-band
+        # scans are pure EOB runs (> one block, with extension bits)
+        img = np.full((32, 32), 77, dtype=np.uint8)
+        blob = encode_progressive_jpeg(img)
+        w, h, nc, body = J.decode_jpeg(blob)
+        got = np.frombuffer(body, np.uint8).reshape(32, 32)
+        assert np.abs(got.astype(int) - 77).max() <= 1
+
+    def test_through_media_features(self, spark):
+        from maplibre_tile_spec_spark.operators import multimodal as MM
+
+        rng = np.random.RandomState(24)
+        img = rng.randint(0, 256, size=(8, 16), dtype=np.uint8)
+        blob = encode_progressive_jpeg(img)
+        media = spark.createDataFrame(
+            [("pjpeg-1", "image", 16, 8, 1, 0, blob)], MM.MEDIA_SCHEMA
+        )
+        got = MM.media_features(media).collect()[0]
+        assert got.kind == "image"
+        w, h, nc, body = J.decode_jpeg(blob)
+        flat = np.frombuffer(body, np.uint8).astype(np.float64)
+        assert got.mean_byte == pytest.approx(flat.mean())
