@@ -21,9 +21,16 @@ All hot paths are declarative Spark expressions (JVM-side, codegen'd):
   by millions of documents never enter the self-join; candidates are then
   verified exactly on the full shingle sets.
 
+* cluster resolution — connected components over the candidate-pair graph
+  (min-label propagation + pointer jumping, pure DataFrame joins) and a
+  keep-one ``dedup_keep_canonical`` output: one canonical row per near-dup
+  cluster, linear in cluster count where pair output is O(c²) per cluster.
+
 At 100 TB the LSH band join is the scale path: the band signature is the
 shuffle key, so each bucket is tiny and AQE's skew split handles pathological
-buckets (e.g. boilerplate documents sharing a band).
+buckets (e.g. boilerplate documents sharing a band). The n-gram verify join
+additionally applies PPJoin+ length/positional filters so candidates that
+cannot reach the overlap threshold never enter the exact verification.
 """
 
 from __future__ import annotations
@@ -209,16 +216,18 @@ def _ngram_jaccard_build(
         # PPJoin+ length + positional filters (VERDICT r4 #4) — prune
         # candidates that cannot reach the overlap threshold
         # α = ⌈t/(1+t)·(na+nb)⌉ BEFORE the expensive full-set verify join.
-        # * length filter (in the join condition): jac ≥ t needs
-        #   min(na,nb) ≥ t·max(na,nb); exact sizes, collision-independent.
+        # * length filter: jac ≥ t needs min(na,nb) ≥ t·max(na,nb); exact
+        #   sizes, collision-independent.
         # * positional filter: for the order-smallest common shingle at
         #   positions (pa, pb) every other common shingle follows it in both
         #   docs, so overlap ≤ 1 + min(na−pa, nb−pb). A qualifying pair's
         #   order-smallest common shingle is inside both prefixes (PPJoin
-        #   lemma), so its row passes; keeping a pair when ANY matched row
-        #   passes therefore never drops a true pair — even under hash
-        #   collisions, which only add rows to the max. ε guards fp rounding
-        #   (pruning less is always safe; the verify below is exact).
+        #   lemma), so its row passes the bound; a pair is kept iff ANY of
+        #   its matched rows passes — implemented as a per-row filter BEFORE
+        #   the distinct (equivalent, and strictly cheaper than the old
+        #   unfiltered distinct: same 2-column shuffle, fewer rows). Hash
+        #   collisions only add rows, never remove the passing one. ε guards
+        #   fp rounding (pruning less is always safe; the verify is exact).
         eps = 1e-9
         t = float(threshold)
         length_ok = F.least(F.col("a.n_sh"), F.col("b.n_sh")) >= (
@@ -228,26 +237,18 @@ def _ngram_jaccard_build(
             F.col("a.n_sh") - F.col("a.rn"), F.col("b.n_sh") - F.col("b.rn")
         )
         alpha = F.ceil(
-            F.lit(t / (1.0 + t)) * (F.col("na") + F.col("nb")) - eps
+            F.lit(t / (1.0 + t)) * (F.col("a.n_sh") + F.col("b.n_sh")) - eps
         )
         cand = (
             a.join(
                 b,
                 (F.col("a.sh") == F.col("b.sh"))
                 & (F.col("a.id") < F.col("b.id"))
-                & length_ok,
+                & length_ok
+                & (row_ub >= alpha),
             )
-            .select(
-                F.col("a.id").alias("doc_a"),
-                F.col("b.id").alias("doc_b"),
-                F.col("a.n_sh").alias("na"),
-                F.col("b.n_sh").alias("nb"),
-                row_ub.alias("ub"),
-            )
-            .groupBy("doc_a", "doc_b")
-            .agg(F.max("ub").alias("ub"), F.min("na").alias("na"), F.min("nb").alias("nb"))
-            .filter(F.col("ub") >= alpha)
-            .select("doc_a", "doc_b")
+            .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+            .distinct()
         )
     sa = sets.select(F.col("id").alias("doc_a"), F.col("n_sh").alias("na"), F.col("shingles").alias("sha"))
     sb = sets.select(F.col("id").alias("doc_b"), F.col("n_sh").alias("nb"), F.col("shingles").alias("shb"))
