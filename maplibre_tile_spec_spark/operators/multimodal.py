@@ -6,14 +6,15 @@ synthesis, partitioning, Arrow-batched UDF signatures, batch shapes.
 Real formats that need no library to decode for real: **WAV/RIFF** (struct
 chunk walk → sample_rate, frame count, raw PCM body), **PNG** (stdlib zlib
 inflate + chunk walk + Sub/Up/Average/Paeth scanline defilter, incl.
-palette expansion), **baseline JPEG** (from-scratch T.81 Huffman + IDCT +
-chroma upsampling, functions/jpeg.py), **uncompressed BMP**
+palette expansion and **Adam7 interlacing**), **baseline + progressive
+JPEG** (from-scratch T.81 Huffman + IDCT + chroma upsampling + Annex G
+progressive scans, functions/jpeg.py), **uncompressed BMP**
 (BITMAPINFOHEADER), and **binary PPM/PGM**. Remaining compressed formats
-(MP3/MP4/WEBP, progressive JPEG) are the one STUB:
+(MP3/MP4/WEBP) are the one STUB:
 they need PIL/libav, which are not in this container — the
 ``_try_pil_decode`` capability gate makes production a pure library swap;
 nothing else changes. A magic-matched decoder that rejects its payload
-(non-WAVE RIFF, interlaced PNG) also falls through to the gate first.
+(non-WAVE RIFF, 16-bit PNG) also falls through to the gate first.
 """
 
 from __future__ import annotations
@@ -233,11 +234,24 @@ def _png_defilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
     return out.astype(np.uint8)
 
 
+#: Adam7 pass geometry: (x0, y0, dx, dy) per pass
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
+
 def _decode_png(payload: bytes) -> tuple[str, int, int, int, int, bytes]:
     """Real PNG decode from scratch — stdlib zlib inflate + IHDR/IDAT chunk
     walk + scanline defilter (VERDICT r3 ask #3). Supports 8-bit depth,
-    color types gray/RGB/palette/gray+alpha/RGBA, non-interlaced (the
-    overwhelming majority of encoder output); Adam7 and 16-bit raise."""
+    color types gray/RGB/palette/gray+alpha/RGBA, non-interlaced AND
+    Adam7-interlaced (each pass an independently filtered sub-image,
+    scattered by strided assignment); 16-bit raises."""
     import zlib
 
     if payload[:8] != _PNG_MAGIC:
@@ -261,13 +275,27 @@ def _decode_png(payload: bytes) -> tuple[str, int, int, int, int, bytes]:
     w, h, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", ihdr[:13])
     if depth != 8:
         raise NotImplementedError(f"PNG bit depth {depth} (only 8 supported)")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
         raise ValueError(f"bad PNG color type {color}")
     raw = zlib.decompress(b"".join(idat))
-    px = _png_defilter(raw, h, w * channels, channels)
+    if interlace == 1:
+        full = np.zeros((h, w, channels), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            nbytes = ph * (1 + pw * channels)
+            sub = _png_defilter(raw[off : off + nbytes], ph, pw * channels, channels)
+            off += nbytes
+            full[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
+        px = full.reshape(h, w * channels)
+    else:
+        px = _png_defilter(raw, h, w * channels, channels)
     if color == 3:  # palette-indexed → RGB
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
@@ -312,8 +340,8 @@ def _parse_header(payload: bytes) -> tuple[str, int, int, int, int, bytes]:
                 try:
                     return dec(payload)
                 except (*_DECODE_ERRORS, zlib.error) as e:
-                    # e.g. a non-WAVE RIFF container (WEBP/AVI), an
-                    # interlaced PNG, or a truncated/corrupt blob: fall
+                    # e.g. a non-WAVE RIFF container (WEBP/AVI), a
+                    # 16-bit PNG, or a truncated/corrupt blob: fall
                     # through to the library gate instead of failing the
                     # whole batch (ADVICE r3 + r4 review)
                     matched_err = e
@@ -332,10 +360,10 @@ def _parse_header(payload: bytes) -> tuple[str, int, int, int, int, bytes]:
             raise ValueError(
                 f"undecodable media blob (magic matched): {matched_err}"
             ) from matched_err
-        # >>> STUB: remaining compressed formats (MP3/MP4/WEBP, progressive
-        # JPEG) need PIL / libav, which are not installed in this container.
-        # WAV / PNG / baseline JPEG / BMP / PNM decode for real above with
-        # no library.
+        # >>> STUB: remaining compressed formats (MP3/MP4/WEBP) need
+        # PIL / libav, which are not installed in this container. WAV / PNG
+        # (incl. Adam7) / baseline+progressive JPEG / BMP / PNM decode for
+        # real above with no library.
         raise NotImplementedError("compressed media decoding requires image/audio libs")
     kind_b, w, h, frames, rate = struct.unpack("<BHHHI", payload[4:15])
     kind = ["image", "audio", "video"][kind_b]

@@ -212,12 +212,13 @@ def _enc_dc_first(bw, dc, pred, al):
     return sdc
 
 
-def _enc_ac_first_scan(c, ss, se, al):
+def _enc_ac_first_scan(c, ss, se, al, restart_interval=0):
     """First AC pass for one component's band: RLE + EOB runs over blocks."""
-    bw = _BitWriter()
+    h = {"bw": _BitWriter(), "out": bytearray(), "rst": 0, "mcu": 0}
     state = {"eobrun": 0}
 
     def flush_eob():
+        bw = h["bw"]
         while state["eobrun"] > 0:
             r = min(14, state["eobrun"].bit_length() - 1)
             cnt = min(state["eobrun"], (1 << (r + 1)) - 1)
@@ -226,8 +227,20 @@ def _enc_ac_first_scan(c, ss, se, al):
                 bw.write(cnt - (1 << r), r)
             state["eobrun"] -= cnt
 
+    def boundary():
+        if restart_interval and h["mcu"] > 0 and h["mcu"] % restart_interval == 0:
+            flush_eob()
+            h["bw"].flush()
+            h["out"] += h["bw"].out
+            h["out"] += bytes([0xFF, 0xD0 + (h["rst"] % 8)])
+            h["rst"] += 1
+            h["bw"] = _BitWriter()
+
     for by in range(c["sbh"]):
         for bx in range(c["sbw"]):
+            boundary()
+            h["mcu"] += 1
+            bw = h["bw"]
             q = c["coef"][by, bx]
             svals = [
                 (abs(int(q[k])) >> al) * (1 if q[k] >= 0 else -1) for k in range(ss, se + 1)
@@ -253,20 +266,22 @@ def _enc_ac_first_scan(c, ss, se, al):
             if last < se - ss:
                 state["eobrun"] += 1
     flush_eob()
-    bw.flush()
-    return bytes(bw.out)
+    h["bw"].flush()
+    h["out"] += h["bw"].out
+    return bytes(h["out"])
 
 
-def _enc_ac_refine_scan(c, ss, se, ah, al):
+def _enc_ac_refine_scan(c, ss, se, ah, al, restart_interval=0):
     """AC successive-approximation refinement for one component's band,
     mirroring the decoder's cursor walk exactly (T.81 G.2.3): correction
     bits are emitted at the moment the decoder will read them."""
-    bw = _BitWriter()
+    h = {"bw": _BitWriter(), "out": bytearray(), "rst": 0, "mcu": 0}
     state = {"eobrun": 0, "runbits": []}
 
     def flush_eob():
         if state["eobrun"] == 0:
             return
+        bw = h["bw"]
         r = state["eobrun"].bit_length() - 1
         _emit(bw, _ACP_CODES, r << 4)
         if r:
@@ -276,8 +291,20 @@ def _enc_ac_refine_scan(c, ss, se, ah, al):
         state["eobrun"] = 0
         state["runbits"] = []
 
+    def boundary():
+        if restart_interval and h["mcu"] > 0 and h["mcu"] % restart_interval == 0:
+            flush_eob()
+            h["bw"].flush()
+            h["out"] += h["bw"].out
+            h["out"] += bytes([0xFF, 0xD0 + (h["rst"] % 8)])
+            h["rst"] += 1
+            h["bw"] = _BitWriter()
+
     for by in range(c["sbh"]):
         for bx in range(c["sbw"]):
+            boundary()
+            h["mcu"] += 1
+            bw = h["bw"]
             q = c["coef"][by, bx]
             vals = {k: int(q[k]) for k in range(ss, se + 1)}
             hist = {k: abs(v) >> ah for k, v in vals.items()}
@@ -314,11 +341,12 @@ def _enc_ac_refine_scan(c, ss, se, ah, al):
                 state["eobrun"] += 1
                 state["runbits"] += [corr[i] for i in range(pos, se + 1) if hist[i] != 0]
     flush_eob()
-    bw.flush()
-    return bytes(bw.out)
+    h["bw"].flush()
+    h["out"] += h["bw"].out
+    return bytes(h["out"])
 
 
-def encode_progressive_jpeg(img: np.ndarray, subsample=False) -> bytes:
+def encode_progressive_jpeg(img: np.ndarray, subsample=False, restart_interval=0) -> bytes:
     """img → progressive JPEG (SOF2): interleaved DC-first (Al=1), AC-first
     per band per component (Al=1), DC refinement, AC refinements (Al=0).
     Exercises spectral selection, successive approximation, and EOB runs."""
@@ -370,6 +398,8 @@ def encode_progressive_jpeg(img: np.ndarray, subsample=False) -> bytes:
     for i, (sh, sv) in enumerate(samp):
         sof += bytes([i + 1, (sh << 4) | sv, 0])
     out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", restart_interval)
 
     def sos_hdr(comp_idx, ss, se, ah, al):
         body = bytes([len(comp_idx)])
@@ -380,36 +410,52 @@ def encode_progressive_jpeg(img: np.ndarray, subsample=False) -> bytes:
 
     def dc_scan(refine):
         bw = _BitWriter()
+        body = bytearray()
         preds = [0] * nc
+        rst = 0
+        mcu = 0
         if nc == 1:
             c = comps[0]
-            order = [(0, by, bx) for by in range(c["sbh"]) for bx in range(c["sbw"])]
+            # one MCU per block in a non-interleaved scan
+            order = [([(0, by, bx)]) for by in range(c["sbh"]) for bx in range(c["sbw"])]
         else:
             order = [
-                (ci, my * c["v"] + by, mx * c["h"] + bx)
+                [
+                    (ci, my * c["v"] + by, mx * c["h"] + bx)
+                    for ci, c in enumerate(comps)
+                    for by in range(c["v"])
+                    for bx in range(c["h"])
+                ]
                 for my in range(mcuy)
                 for mx in range(mcux)
-                for ci, c in enumerate(comps)
-                for by in range(c["v"])
-                for bx in range(c["h"])
             ]
-        for ci, by, bx in order:
-            dc = int(comps[ci]["coef"][by, bx, 0])
-            if refine:
-                bw.write(dc & 1, 1)
-            else:
-                preds[ci] = _enc_dc_first(bw, dc, preds[ci], 1)
+        for unit in order:
+            if restart_interval and mcu > 0 and mcu % restart_interval == 0:
+                bw.flush()
+                body += bw.out
+                body += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                bw = _BitWriter()
+                preds = [0] * nc
+            for ci, by, bx in unit:
+                dc = int(comps[ci]["coef"][by, bx, 0])
+                if refine:
+                    bw.write(dc & 1, 1)
+                else:
+                    preds[ci] = _enc_dc_first(bw, dc, preds[ci], 1)
+            mcu += 1
         bw.flush()
-        return bytes(bw.out)
+        body += bw.out
+        return bytes(body)
 
     out += sos_hdr(range(nc), 0, 0, 0, 1) + dc_scan(refine=False)
     for ss, se in [(1, 5), (6, 63)]:
         for ci, c in enumerate(comps):
-            out += sos_hdr([ci], ss, se, 0, 1) + _enc_ac_first_scan(c, ss, se, 1)
+            out += sos_hdr([ci], ss, se, 0, 1) + _enc_ac_first_scan(c, ss, se, 1, restart_interval)
     out += sos_hdr(range(nc), 0, 0, 1, 0) + dc_scan(refine=True)
     for ss, se in [(1, 5), (6, 63)]:
         for ci, c in enumerate(comps):
-            out += sos_hdr([ci], ss, se, 1, 0) + _enc_ac_refine_scan(c, ss, se, 1, 0)
+            out += sos_hdr([ci], ss, se, 1, 0) + _enc_ac_refine_scan(c, ss, se, 1, 0, restart_interval)
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -601,3 +647,26 @@ class TestProgressiveJpeg:
         w, h, nc, body = J.decode_jpeg(blob)
         flat = np.frombuffer(body, np.uint8).astype(np.float64)
         assert got.mean_byte == pytest.approx(flat.mean())
+
+    def test_restart_markers_progressive(self):
+        """DRI + RSTn inside progressive scans: DC pred, AC EOB runs, and
+        refinement state all reset at each restart boundary."""
+        rng = np.random.RandomState(31)
+        img = rng.randint(0, 256, size=(16, 32), dtype=np.uint8)
+        blob = encode_progressive_jpeg(img, restart_interval=2)
+        assert b"\xff\xd0" in blob
+        pw, ph, pnc, pbody = J.decode_jpeg(blob)
+        bw_, bh_, bnc, bbody = J.decode_jpeg(encode_jpeg(img))
+        assert (pw, ph, pnc) == (bw_, bh_, bnc)
+        pa = np.frombuffer(pbody, np.uint8).astype(int)
+        ba = np.frombuffer(bbody, np.uint8).astype(int)
+        assert np.abs(pa - ba).max() <= 1
+
+    def test_corrupt_restart_in_progressive_scan_raises(self):
+        rng = np.random.RandomState(32)
+        img = rng.randint(0, 256, size=(16, 32), dtype=np.uint8)
+        blob = bytearray(encode_progressive_jpeg(img, restart_interval=2))
+        i = blob.index(b"\xff\xd0")
+        blob[i : i + 2] = b"\x00\x00"
+        with pytest.raises(ValueError):
+            J.decode_jpeg(bytes(blob))

@@ -248,14 +248,9 @@ class TestRealFormats:
         assert "RIFF/WAVE" in str(ei.value) or "image/audio libs" in str(ei.value)
 
 
-def _png_bytes(pixels: "np.ndarray", color_type: int, filters=None) -> bytes:
-    """Independent minimal PNG encoder (test-side oracle): pixels is
-    (h, w, channels) uint8; per-row filter types applied forward so the
-    decoder must invert them."""
-    import zlib
-
+def _filter_image(pixels: "np.ndarray", filters) -> bytearray:
+    """Forward-filter an (h, w, ch) image into PNG raw scanline bytes."""
     h, w, ch = pixels.shape
-    filters = filters or [0] * h
     raw = bytearray()
     prev = np.zeros(w * ch, dtype=np.int64)
     for y, ft in zip(range(h), filters):
@@ -285,6 +280,28 @@ def _png_bytes(pixels: "np.ndarray", color_type: int, filters=None) -> bytes:
         raw.append(ft)
         raw.extend(enc.astype(np.uint8).tobytes())
         prev = line
+    return raw
+
+
+def _png_chunk(ctype, body):
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _png_bytes(pixels: "np.ndarray", color_type: int, filters=None) -> bytes:
+    """Independent minimal PNG encoder (test-side oracle): pixels is
+    (h, w, channels) uint8; per-row filter types applied forward so the
+    decoder must invert them."""
+    import zlib
+
+    h, w, ch = pixels.shape
+    raw = _filter_image(pixels, filters or [0] * h)
 
     def chunk(ctype, body):
         return (
@@ -300,6 +317,31 @@ def _png_bytes(pixels: "np.ndarray", color_type: int, filters=None) -> bytes:
         + chunk(b"IHDR", ihdr)
         + chunk(b"IDAT", zlib.compress(bytes(raw)))
         + chunk(b"IEND", b"")
+    )
+
+
+def _png_bytes_interlaced(pixels: "np.ndarray", color_type: int, filt_cycle=(0, 1, 2, 3, 4)) -> bytes:
+    """Adam7-interlaced PNG test encoder: the 7 passes are independently
+    filtered sub-images concatenated into one zlib stream (interlace=1)."""
+    import zlib
+
+    h, w, ch = pixels.shape
+    raw = bytearray()
+    fi = 0
+    for x0, y0, dx, dy in MM._ADAM7:
+        sub = np.ascontiguousarray(pixels[y0::dy, x0::dx])
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        filters = [filt_cycle[(fi + i) % len(filt_cycle)] for i in range(ph)]
+        fi += ph
+        raw += _filter_image(sub, filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
     )
 
 
@@ -356,20 +398,42 @@ class TestPngDecode:
         assert got.mean_byte == pytest.approx(flat.mean())
         assert got.std_byte == pytest.approx(flat.std())
 
-    def test_interlaced_rejected_not_crashed(self):
+    def test_adam7_interlaced_rgb(self):
+        """Adam7 decode (round 5 — the last PNG gate): odd dimensions so
+        several passes are partial, every filter type cycled per pass."""
+        rng = np.random.RandomState(13)
+        px = rng.randint(0, 256, size=(13, 11, 3), dtype=np.uint8)
+        blob = _png_bytes_interlaced(px, color_type=2)
+        kind, w, h, *_rest, body = MM._parse_header(blob)
+        assert (kind, w, h) == ("image", 11, 13)
+        assert body == px.tobytes()
+
+    def test_adam7_gray_and_rgba_and_tiny(self):
+        rng = np.random.RandomState(14)
+        for ch, ct in ((1, 0), (4, 6)):
+            px = rng.randint(0, 256, size=(9, 6, ch), dtype=np.uint8)
+            blob = _png_bytes_interlaced(px, color_type=ct)
+            *_h, body = MM._parse_header(blob)
+            assert body == px.tobytes()
+        # 3x2: most Adam7 passes are EMPTY (zero bytes contributed)
+        px = rng.randint(0, 256, size=(2, 3, 3), dtype=np.uint8)
+        blob = _png_bytes_interlaced(px, color_type=2)
+        kind, w, h, *_rest, body = MM._parse_header(blob)
+        assert (w, h) == (3, 2)
+        assert body == px.tobytes()
+
+    def test_adam7_palette(self):
         import zlib
 
-        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)  # Adam7
-
-        def chunk(ctype, body):
-            return (
-                struct.pack(">I", len(body)) + ctype + body
-                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
-            )
-
-        blob = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(bytes(12)))
-        with pytest.raises(NotImplementedError):
-            MM._parse_header(blob)
+        pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 128], [7, 7, 7]], dtype=np.uint8)
+        rng = np.random.RandomState(15)
+        idx = rng.randint(0, 4, size=(10, 9), dtype=np.uint8)
+        blob = _png_bytes_interlaced(idx[..., None], color_type=3)
+        ihdr_end = 8 + 12 + 13
+        blob = blob[:ihdr_end] + _png_chunk(b"PLTE", pal.tobytes()) + blob[ihdr_end:]
+        kind, w, h, *_rest, body = MM._parse_header(blob)
+        assert (w, h) == (9, 10)
+        assert body == pal[idx.reshape(-1)].tobytes()
 
 
 class TestStreamingTileEncode:
