@@ -169,10 +169,12 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
             while p < len(seg):
                 pq, tq = seg[p] >> 4, seg[p] & 15
                 p += 1
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables")
-                qt[tq] = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(np.int32)
-                p += 64
+                if pq == 1:  # 16-bit table entries, big-endian
+                    qt[tq] = np.frombuffer(seg[p : p + 128], dtype=">u2").astype(np.int32)
+                    p += 128
+                else:
+                    qt[tq] = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(np.int32)
+                    p += 64
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):

@@ -136,15 +136,52 @@ def _decode_wav(payload: bytes) -> tuple[str, int, int, int, int, bytes]:
 
 
 def _decode_bmp(payload: bytes) -> tuple[str, int, int, int, int, bytes]:
-    """Real uncompressed BMP decode (BITMAPINFOHEADER, BI_RGB only)."""
+    """Real BMP decode (BITMAPINFOHEADER): BI_RGB raw raster, plus BI_RLE8
+    run-length decode with palette expansion → top-down RGB body."""
     if payload[:2] != b"BM" or len(payload) < 54:
         raise ValueError("not a BMP")
     (data_off,) = struct.unpack("<I", payload[10:14])
     w, h = struct.unpack("<ii", payload[18:26])
+    (bitcount,) = struct.unpack("<H", payload[28:30])
     (compression,) = struct.unpack("<I", payload[30:34])
-    if compression != 0:
+    if compression == 0:
+        return "image", int(w), abs(int(h)), 1, 0, payload[data_off:]
+    if compression != 1:  # BI_RLE4/BI_BITFIELDS/…
         raise NotImplementedError("compressed BMP requires an image lib")
-    return "image", int(w), abs(int(h)), 1, 0, payload[data_off:]
+    if bitcount != 8:
+        raise ValueError("BI_RLE8 requires 8-bit palette BMP")
+    (dib_size,) = struct.unpack("<I", payload[14:18])
+    (clr_used,) = struct.unpack("<I", payload[46:50])
+    n_pal = clr_used or 256
+    pal_off = 14 + dib_size
+    pal = np.frombuffer(payload, dtype=np.uint8, count=n_pal * 4, offset=pal_off)
+    pal = pal.reshape(n_pal, 4)[:, [2, 1, 0]]  # BGRA → RGB
+    ah = abs(int(h))
+    idx = np.zeros((ah, int(w)), dtype=np.uint8)
+    x, y = 0, 0  # RLE rows are bottom-up when h > 0
+    p = data_off
+    while p + 1 < len(payload):
+        cnt, val = payload[p], payload[p + 1]
+        p += 2
+        if cnt > 0:  # run
+            idx[y, x : x + cnt] = val
+            x += cnt
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of data
+            break
+        elif val == 2:  # delta
+            x += payload[p]
+            y += payload[p + 1]
+            p += 2
+        else:  # absolute literals, padded to even byte count
+            idx[y, x : x + val] = np.frombuffer(payload, np.uint8, count=val, offset=p)
+            x += val
+            p += val + (val & 1)
+    rgb = pal[idx.reshape(-1)].reshape(ah, int(w), 3)
+    if int(h) > 0:
+        rgb = rgb[::-1]  # bottom-up → top-down
+    return "image", int(w), ah, 1, 0, rgb.tobytes()
 
 
 def _decode_pnm(payload: bytes) -> tuple[str, int, int, int, int, bytes]:
@@ -273,29 +310,36 @@ def _decode_png(payload: bytes) -> tuple[str, int, int, int, int, bytes]:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", ihdr[:13])
-    if depth != 8:
-        raise NotImplementedError(f"PNG bit depth {depth} (only 8 supported)")
+    if depth not in (8, 16):
+        raise NotImplementedError(f"PNG bit depth {depth} (8/16 supported)")
     if interlace not in (0, 1):
         raise ValueError(f"bad PNG interlace method {interlace}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
         raise ValueError(f"bad PNG color type {color}")
+    if color == 3 and depth == 16:
+        raise ValueError("16-bit palette PNG is not legal")
+    bpp = channels * (depth // 8)  # filters operate at byte distance bpp
     raw = zlib.decompress(b"".join(idat))
     if interlace == 1:
-        full = np.zeros((h, w, channels), dtype=np.uint8)
+        full = np.zeros((h, w, bpp), dtype=np.uint8)
         off = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            nbytes = ph * (1 + pw * channels)
-            sub = _png_defilter(raw[off : off + nbytes], ph, pw * channels, channels)
+            nbytes = ph * (1 + pw * bpp)
+            sub = _png_defilter(raw[off : off + nbytes], ph, pw * bpp, bpp)
             off += nbytes
-            full[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
-        px = full.reshape(h, w * channels)
+            full[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+        px = full.reshape(h, w * bpp)
     else:
-        px = _png_defilter(raw, h, w * channels, channels)
+        px = _png_defilter(raw, h, w * bpp, bpp)
+    if depth == 16:
+        # big-endian 16-bit samples → 8-bit body via the high byte (the
+        # standard significance-preserving reduction)
+        px = np.ascontiguousarray(px).reshape(h, w * channels, 2)[:, :, 0]
     if color == 3:  # palette-indexed → RGB
         if plte is None:
             raise ValueError("palette PNG missing PLTE")

@@ -670,3 +670,19 @@ class TestProgressiveJpeg:
         blob[i : i + 2] = b"\x00\x00"
         with pytest.raises(ValueError):
             J.decode_jpeg(bytes(blob))
+
+    def test_16bit_quant_tables(self):
+        """DQT pq=1: table entries are big-endian u16; patching the all-ones
+        8-bit table to 16-bit must decode identically."""
+        rng = np.random.RandomState(33)
+        img = rng.randint(0, 256, size=(8, 16), dtype=np.uint8)
+        blob = encode_jpeg(img)
+        i = blob.index(b"\xff\xdb")
+        old_seg = blob[i : i + 4 + 65]  # marker+len + pqtq + 64 entries
+        new_body = bytes([0x10]) + struct.pack(">64H", *([1] * 64))
+        new_seg = b"\xff\xdb" + struct.pack(">H", len(new_body) + 2) + new_body
+        patched = blob[:i] + new_seg + blob[i + 4 + 65 :]
+        w1, h1, n1, b1 = J.decode_jpeg(blob)
+        w2, h2, n2, b2 = J.decode_jpeg(patched)
+        assert (w1, h1, n1) == (w2, h2, n2)
+        assert b1 == b2

@@ -502,3 +502,93 @@ class TestStreamingTileEncode:
         others = spark.read.parquet(sink).filter(F.col("batch_id") != 0).agg(F.sum("n_features").alias("s")).first().s
         assert after == batch0_after + others
         assert others < before  # old batch-0 rows are gone, not duplicated
+
+
+class TestDepth16AndRle8:
+    def test_16bit_png(self):
+        """16-bit PNG: filters run at byte distance bpp=2·ch; body reduces
+        to the high byte of each big-endian sample."""
+        rng = np.random.RandomState(21)
+        for ch, ct in ((1, 0), (3, 2)):
+            px16 = rng.randint(0, 65536, size=(6, 5, ch)).astype(">u2")
+            px8 = px16.view(np.uint8).reshape(6, 5, ch * 2)
+            raw = _filter_image(px8, [0, 1, 2, 3, 4, 1])
+            import zlib
+            ihdr = struct.pack(">IIBBBBB", 5, 6, 16, ct, 0, 0, 0)
+            blob = (
+                b"\x89PNG\r\n\x1a\n"
+                + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + _png_chunk(b"IEND", b"")
+            )
+            kind, w, h, *_rest, body = MM._parse_header(blob)
+            assert (kind, w, h) == ("image", 5, 6)
+            assert body == (px16.astype(np.uint16) >> 8).astype(np.uint8).tobytes()
+
+    def test_16bit_interlaced_png(self):
+        import zlib
+        rng = np.random.RandomState(22)
+        px16 = rng.randint(0, 65536, size=(9, 7, 1)).astype(">u2")
+        px8 = px16.view(np.uint8).reshape(9, 7, 2)
+        raw = bytearray()
+        fi = 0
+        for x0, y0, dx, dy in MM._ADAM7:
+            sub = np.ascontiguousarray(px8[y0::dy, x0::dx])
+            ph, pw = sub.shape[:2]
+            if ph == 0 or pw == 0:
+                continue
+            raw += _filter_image(sub, [(fi + i) % 5 for i in range(ph)])
+            fi += ph
+        ihdr = struct.pack(">IIBBBBB", 7, 9, 16, 0, 0, 0, 1)
+        blob = (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b"")
+        )
+        kind, w, h, *_rest, body = MM._parse_header(blob)
+        assert (w, h) == (7, 9)
+        assert body == (px16.astype(np.uint16) >> 8).astype(np.uint8).tobytes()
+
+    @staticmethod
+    def _rle8_bmp(w, h, idx_rows, rle, n_pal=4):
+        """idx_rows: expected (h, w) indices; rle: hand-built RLE8 stream."""
+        pal = bytes()
+        for i in range(n_pal):
+            pal += bytes([i * 3 + 2, i * 3 + 1, i * 3, 0])  # B,G,R,0
+        dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(rle), 0, 0, n_pal, 0)
+        data_off = 14 + 40 + len(pal)
+        header = b"BM" + struct.pack("<IHHI", data_off + len(rle), 0, 0, data_off)
+        return header + dib + pal + rle
+
+    def test_rle8_bmp(self):
+        """BI_RLE8: runs, absolute literals (odd count → pad byte), EOL,
+        delta skip, EOD; bottom-up rows; palette → RGB."""
+        w, h = 6, 3
+        # bottom row: run of 3×idx1, literals [2,3,0] ; middle: EOL-only
+        # (stays 0s after delta); top: run 6×idx3
+        rle = bytes(
+            [3, 1]  # run of 3×idx1
+            + [0, 3, 2, 3, 0, 0]  # absolute: 3 literals [2,3,0] + pad byte
+            + [0, 0]  # EOL → row 1
+            + [0, 2, 2, 0]  # delta: skip 2 right
+            + [4, 2]  # run of 4×idx2 at (2,1)
+            + [0, 0]  # EOL → row 2
+            + [6, 3]  # top row: run 6×idx3
+            + [0, 1]  # EOD
+        )
+        blob = self._rle8_bmp(w, h, None, rle)
+        kind, gw, gh, *_rest, body = MM._parse_header(blob)
+        assert (kind, gw, gh) == ("image", 6, 3)
+        rgb = np.frombuffer(body, np.uint8).reshape(3, 6, 3)
+        pal = np.array([[i * 3, i * 3 + 1, i * 3 + 2] for i in range(4)])
+        # decoded bottom-up: row0(bottom)=1,1,1,2,3,0 row1=0,0,2,2,2,2 row2(top)=3×6
+        assert np.array_equal(rgb[2], pal[[1, 1, 1, 2, 3, 0]])
+        assert np.array_equal(rgb[1], pal[[0, 0, 2, 2, 2, 2]])
+        assert np.array_equal(rgb[0], pal[[3] * 6])
+
+    def test_rle4_still_gated(self):
+        dib = struct.pack("<IiiHHIIiiII", 40, 4, 2, 1, 4, 2, 8, 0, 0, 0, 0)
+        header = b"BM" + struct.pack("<IHHI", 62, 0, 0, 54)
+        with pytest.raises((NotImplementedError, ValueError)):
+            MM._parse_header(header + dib + bytes(8))
