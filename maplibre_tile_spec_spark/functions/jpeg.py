@@ -151,6 +151,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     restart_interval = 0
     frame = None
     progressive = False
+    seq_mode = False  # non-interleaved / multi-scan baseline
     comps: list[dict] = []
 
     while pos < len(payload):
@@ -195,20 +196,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
             frame = (w, h, nc)
             if marker == 0xC2:
                 progressive = True
-                # per-component integer coefficient store (zigzag order),
-                # padded to the interleaved MCU grid; scans fill it in
-                hmax = max(c["h"] for c in comps)
-                vmax = max(c["v"] for c in comps)
-                mcux = (w + 8 * hmax - 1) // (8 * hmax)
-                mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-                for c in comps:
-                    c["bw"] = mcux * c["h"]
-                    c["bh"] = mcuy * c["v"]
-                    # non-interleaved scans cover only the component's own
-                    # (unpadded) block grid — T.81 A.2.2
-                    c["sbw"] = (-(-w * c["h"] // hmax) + 7) // 8
-                    c["sbh"] = (-(-h * c["v"] // vmax) + 7) // 8
-                    c["coef"] = np.zeros((c["bh"], c["bw"], 64), dtype=np.int32)
+                _init_coef_stores(comps, w, h)
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(f"non-baseline JPEG (SOF{marker & 0xF})")
         elif marker == 0xDD:  # DRI
@@ -230,9 +218,19 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 )
                 continue
             if comps and ns < len(comps):
-                raise NotImplementedError(
-                    "non-interleaved (multi-scan) baseline JPEG"
+                # non-interleaved / multi-scan baseline: decode each scan's
+                # full-band blocks into the coefficient stores (decided at
+                # the FIRST scan — an ns==nc scan already covers every
+                # component, so baseline files are one shape or the other)
+                seq_mode = True
+                if "coef" not in comps[0]:
+                    _init_coef_stores(comps, frame[0], frame[1])
+            if seq_mode:
+                pos += seglen
+                pos = _decode_sequential_scan(
+                    payload, pos, scan, huff_dc, huff_ac, restart_interval
                 )
+                continue
             pos += seglen
             pos = _decode_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval)
             continue
@@ -241,7 +239,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     if frame is None:
         raise ValueError("JPEG missing SOF0/SOF2")
     w, h, nc = frame
-    if progressive:
+    if progressive or seq_mode:
         _reconstruct_progressive(comps, qt, w, h)
     out = _assemble(comps, w, h)
     return w, h, nc, out.tobytes()
@@ -289,6 +287,83 @@ def _decode_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac, restart_interv
         if fy > 1 or fx > 1:
             plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
         c["pixels"] = np.clip(plane[:h, :w] + 128.0, 0, 255).astype(np.uint8)
+    reader.align()
+    return reader.pos
+
+
+def _init_coef_stores(comps, w, h):
+    """Per-component integer coefficient store (zigzag order), padded to the
+    interleaved MCU grid; progressive or multi-scan sequential scans fill it
+    in and one vectorized IDCT reconstructs at EOI."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    for c in comps:
+        c["bw"] = mcux * c["h"]
+        c["bh"] = mcuy * c["v"]
+        # non-interleaved scans cover only the component's own (unpadded)
+        # block grid — T.81 A.2.2
+        c["sbw"] = (-(-w * c["h"] // hmax) + 7) // 8
+        c["sbh"] = (-(-h * c["v"] // vmax) + 7) // 8
+        c["coef"] = np.zeros((c["bh"], c["bw"], 64), dtype=np.int32)
+
+
+def _decode_sequential_scan(payload, pos, scan, huff_dc, huff_ac, restart_interval):
+    """One SOF0 scan in a non-interleaved / multi-scan baseline file: each
+    block carries its full DC+AC band (T.81 F.2.2) into the coefficient
+    stores; reconstruction happens at EOI exactly like progressive."""
+    reader = _BitReader(payload, pos)
+    for c in scan:
+        c["pred"] = 0
+
+    def block(c, by, bx):
+        coef = c["coef"][by, bx]
+        t = reader.decode_symbol(huff_dc[c["dc"]])
+        c["pred"] += _extend(reader.read_bits(t), t)
+        coef[0] = c["pred"]
+        k = 1
+        while k < 64:
+            rs = reader.decode_symbol(huff_ac[c["ac"]])
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break
+            k += r
+            if k > 63:
+                raise ValueError("AC coefficient index out of range")
+            coef[k] = _extend(reader.read_bits(s), s)
+            k += 1
+
+    try:
+        mcu = 0
+        if len(scan) > 1:
+            mcux = scan[0]["bw"] // scan[0]["h"]
+            mcuy = scan[0]["bh"] // scan[0]["v"]
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart_interval and mcu > 0 and mcu % restart_interval == 0:
+                        reader.skip_restart()
+                        for c in scan:
+                            c["pred"] = 0
+                    for c in scan:
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                block(c, my * c["v"] + by, mx * c["h"] + bx)
+                    mcu += 1
+        else:
+            c = scan[0]
+            for by in range(c["sbh"]):
+                for bx in range(c["sbw"]):
+                    if restart_interval and mcu > 0 and mcu % restart_interval == 0:
+                        reader.skip_restart()
+                        c["pred"] = 0
+                    block(c, by, bx)
+                    mcu += 1
+    except _RestartMarker:
+        raise ValueError("unexpected restart marker") from None
     reader.align()
     return reader.pos
 

@@ -310,8 +310,8 @@ def _decode_png(payload: bytes) -> tuple[str, int, int, int, int, bytes]:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", ihdr[:13])
-    if depth not in (8, 16):
-        raise NotImplementedError(f"PNG bit depth {depth} (8/16 supported)")
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"bad PNG bit depth {depth}")
     if interlace not in (0, 1):
         raise ValueError(f"bad PNG interlace method {interlace}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
@@ -319,23 +319,41 @@ def _decode_png(payload: bytes) -> tuple[str, int, int, int, int, bytes]:
         raise ValueError(f"bad PNG color type {color}")
     if color == 3 and depth == 16:
         raise ValueError("16-bit palette PNG is not legal")
-    bpp = channels * (depth // 8)  # filters operate at byte distance bpp
+    if depth < 8 and color not in (0, 3):
+        raise ValueError(f"sub-8-bit depth with color type {color} is not legal")
+    # bytes per pixel in the post-defilter raster: ≥8-bit samples keep their
+    # bytes (filters operate at byte distance channels·depth/8); packed
+    # 1/2/4-bit scanlines defilter at distance 1 then unpack MSB-first
+    unit = channels * (depth // 8) if depth >= 8 else 1
     raw = zlib.decompress(b"".join(idat))
+
+    def decode_region(ph: int, pw: int, off: int):
+        if depth >= 8:
+            nbytes = ph * (1 + pw * unit)
+            sub = _png_defilter(raw[off : off + nbytes], ph, pw * unit, unit)
+            return sub.reshape(ph, pw, unit), off + nbytes
+        rb = (pw * depth + 7) // 8
+        nbytes = ph * (1 + rb)
+        sub = _png_defilter(raw[off : off + nbytes], ph, rb, 1)
+        bits = np.unpackbits(sub, axis=1)[:, : pw * depth].reshape(ph, pw, depth)
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+        vals = (bits * weights).sum(axis=2, dtype=np.uint16).astype(np.uint8)
+        return vals[..., None], off + nbytes
+
     if interlace == 1:
-        full = np.zeros((h, w, bpp), dtype=np.uint8)
+        full = np.zeros((h, w, unit), dtype=np.uint8)
         off = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            nbytes = ph * (1 + pw * bpp)
-            sub = _png_defilter(raw[off : off + nbytes], ph, pw * bpp, bpp)
-            off += nbytes
-            full[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
-        px = full.reshape(h, w * bpp)
+            sub, off = decode_region(ph, pw, off)
+            full[y0::dy, x0::dx] = sub
+        px = full.reshape(h, w * unit)
     else:
-        px = _png_defilter(raw, h, w * bpp, bpp)
+        sub, _ = decode_region(h, w, 0)
+        px = sub.reshape(h, w * unit)
     if depth == 16:
         # big-endian 16-bit samples → 8-bit body via the high byte (the
         # standard significance-preserving reduction)
@@ -345,6 +363,9 @@ def _decode_png(payload: bytes) -> tuple[str, int, int, int, int, bytes]:
             raise ValueError("palette PNG missing PLTE")
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
         px = pal[px.reshape(-1)]
+    elif depth < 8:
+        # grayscale sample scale-up: 0..2^d−1 → 0..255
+        px = (px.astype(np.uint16) * (255 // (2**depth - 1))).astype(np.uint8)
     return "image", int(w), int(h), 1, 0, px.tobytes()
 
 

@@ -460,6 +460,88 @@ def encode_progressive_jpeg(img: np.ndarray, subsample=False, restart_interval=0
     return bytes(out)
 
 
+def encode_noninterleaved_jpeg(img: np.ndarray, subsample=False) -> bytes:
+    """Baseline SOF0 with ONE SCAN PER COMPONENT (non-interleaved): each
+    block carries its full DC+AC band, components sequential."""
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if gray:
+        planes = [img.astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        rgb = img.astype(np.float64)
+        y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        cb = -0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2] + 128
+        cr = 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2] + 128
+        if subsample:
+            def down(p):
+                hh = (h + 1) // 2 * 2
+                ww = (w + 1) // 2 * 2
+                pp = np.pad(p, ((0, hh - h), (0, ww - w)), mode="edge")
+                return (pp[0::2, 0::2] + pp[1::2, 0::2] + pp[0::2, 1::2] + pp[1::2, 1::2]) / 4
+            planes = [y, down(cb), down(cr)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
+    nc = len(planes)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    out = bytearray(b"\xff\xd8")
+    qtable = bytes([0]) + bytes([1] * 64)
+    out += b"\xff\xdb" + struct.pack(">H", len(qtable) + 2) + qtable
+    out += _dht(0, 0, _DC_SYMBOLS, 4)
+    out += _dht(1, 0, _AC_SYMBOLS, 8)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for i, (sh, sv) in enumerate(samp):
+        sof += bytes([i + 1, (sh << 4) | sv, 0])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    for ci, (p, (sh, sv)) in enumerate(zip(planes, samp)):
+        bh, bw_ = mcuy * sv, mcux * sh
+        sbw = (-(-w * sh // hmax) + 7) // 8
+        sbh = (-(-h * sv // vmax) + 7) // 8
+        coef = _plane_coeffs(p, bh, bw_)
+        sos = bytes([1, ci + 1, 0x00, 0, 63, 0])
+        out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+        bw = _BitWriter()
+        pred = 0
+        for by in range(sbh):
+            for bx in range(sbw):
+                q = coef[by, bx]
+                dc = int(q[0])
+                diff = dc - pred
+                pred = dc
+                sz = _category(diff)
+                _emit(bw, _DC_CODES, sz)
+                if sz:
+                    bw.write(diff if diff >= 0 else diff + (1 << sz) - 1, sz)
+                last = 63
+                while last > 0 and q[last] == 0:
+                    last -= 1
+                run = 0
+                for k in range(1, last + 1):
+                    v = int(q[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        _emit(bw, _AC_CODES, 0xF0)
+                        run -= 16
+                    sz = _category(v)
+                    _emit(bw, _AC_CODES, (run << 4) | sz)
+                    bw.write(v if v >= 0 else v + (1 << sz) - 1, sz)
+                    run = 0
+                if last < 63:
+                    _emit(bw, _AC_CODES, 0x00)
+        bw.flush()
+        out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 class TestBaselineJpeg:
     def test_gray_near_lossless(self):
         rng = np.random.RandomState(42)
@@ -555,17 +637,19 @@ class TestBaselineJpeg:
         with pytest.raises(Exception):
             MM.media_features(media).collect()  # strict default still raises
 
-    def test_noninterleaved_multiscan_rejected(self):
-        # craft a 3-component SOS declaring only 1 component
+    def test_noninterleaved_multiscan_decodes(self):
+        """SOF0 with one scan per component (round 5): decodes through the
+        coefficient store and matches the interleaved decode bit-for-bit up
+        to IDCT summation order."""
         rng = np.random.RandomState(9)
-        blob = bytearray(encode_jpeg(rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)))
-        i = blob.index(b"\xff\xda")
-        # SOS: len=8, ns=1, comp 1
-        new_sos = b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
-        old_len = struct.unpack(">H", blob[i + 2 : i + 4])[0]
-        blob[i : i + 2 + old_len] = new_sos
-        with pytest.raises(NotImplementedError, match="non-interleaved"):
-            J.decode_baseline_jpeg(bytes(blob))
+        for shape, sub in (((16, 24, 3), False), ((13, 19), False), ((16, 16, 3), True)):
+            img = rng.randint(0, 256, size=shape, dtype=np.uint8)
+            w1, h1, n1, b1 = J.decode_jpeg(encode_noninterleaved_jpeg(img, subsample=sub))
+            w2, h2, n2, b2 = J.decode_jpeg(encode_jpeg(img, subsample=sub))
+            assert (w1, h1, n1) == (w2, h2, n2)
+            a = np.frombuffer(b1, np.uint8).astype(int)
+            b = np.frombuffer(b2, np.uint8).astype(int)
+            assert np.abs(a - b).max() <= 1
 
     def test_rgb_422_subsampled(self):
         # horizontal-only chroma subsampling (4:2:2): decoder upsamples x only

@@ -592,3 +592,57 @@ class TestDepth16AndRle8:
         header = b"BM" + struct.pack("<IHHI", 62, 0, 0, 54)
         with pytest.raises((NotImplementedError, ValueError)):
             MM._parse_header(header + dib + bytes(8))
+
+    @staticmethod
+    def _packed_png(vals: "np.ndarray", depth: int, color_type: int, interlace=0) -> bytes:
+        """Test encoder for 1/2/4-bit PNG: vals (h, w) ints < 2^depth."""
+        import zlib
+
+        def pack_rows(sub):
+            ph, pw = sub.shape
+            raw = bytearray()
+            for y in range(ph):
+                bits = np.zeros(pw * depth, dtype=np.uint8)
+                for i in range(depth):
+                    bits[i::depth] = (sub[y] >> (depth - 1 - i)) & 1
+                raw.append(0)  # filter None
+                raw.extend(np.packbits(bits).tobytes())
+            return raw
+
+        h, w = vals.shape
+        raw = bytearray()
+        if interlace:
+            for x0, y0, dx, dy in MM._ADAM7:
+                sub = vals[y0::dy, x0::dx]
+                if sub.size:
+                    raw += pack_rows(sub)
+        else:
+            raw = pack_rows(vals)
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    def test_sub8bit_gray_png(self):
+        rng = np.random.RandomState(23)
+        for depth in (1, 2, 4):
+            vals = rng.randint(0, 2**depth, size=(5, 11), dtype=np.uint8)
+            blob = self._packed_png(vals, depth, 0)
+            kind, w, h, *_rest, body = MM._parse_header(blob)
+            assert (w, h) == (11, 5)
+            scale = 255 // (2**depth - 1)
+            assert body == (vals * scale).astype(np.uint8).tobytes()
+
+    def test_4bit_palette_png_interlaced(self):
+        rng = np.random.RandomState(24)
+        pal = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+        idx = rng.randint(0, 16, size=(9, 7), dtype=np.uint8)
+        blob = self._packed_png(idx, 4, 3, interlace=1)
+        ihdr_end = 8 + 12 + 13
+        blob = blob[:ihdr_end] + _png_chunk(b"PLTE", pal.tobytes()) + blob[ihdr_end:]
+        kind, w, h, *_rest, body = MM._parse_header(blob)
+        assert (w, h) == (7, 9)
+        assert body == pal[idx.reshape(-1)].tobytes()
