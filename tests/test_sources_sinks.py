@@ -148,3 +148,40 @@ class TestTilesetMetadataProto:
         assert col["kind"] == "struct" and col["name"] == "name"
         assert [c["name"] for c in col["children"]] == [":de", ":en"]
         assert all(c["type"] == "string" for c in col["children"])
+
+
+class TestEncodeServer:
+    """On-demand encode server ≡ cli/Server.java line protocol: one command
+    per connection, Encode-style args, errors printed back to the client."""
+
+    def test_roundtrip_over_socket(self, tmp_path):
+        import glob
+        import socket
+
+        from maplibre_tile_spec_spark.functions import mlt_cli as CLI
+        from maplibre_tile_spec_spark.sources.encode_server import EncodeServer
+
+        mvts = sorted(glob.glob("/root/reference/test/fixtures/**/*.mvt", recursive=True))
+        if not mvts:
+            pytest.skip("reference fixtures not available")
+        src = mvts[0]
+        dst = str(tmp_path / "out.mlt")
+        srv = EncodeServer()
+        port = 3917
+        assert srv.run(port)
+        try:
+            assert srv.run(port)  # second run(): already-listening no-op True
+            with socket.create_connection(("localhost", port), timeout=5) as s:
+                s.sendall(f"-mvt {src} -mlt {dst} -enable-fsst\n".encode())
+                reply = s.makefile().readline()
+            assert reply.startswith("OK "), reply
+            served = open(dst, "rb").read()
+            direct = CLI.convert_mvt(open(src, "rb").read(), use_fsst=True)
+            assert served == direct  # byte-identical to the CLI path
+            # error surface: unknown option goes back to the client
+            with socket.create_connection(("localhost", port), timeout=5) as s:
+                s.sendall(b"-mvt x -bogus\n")
+                reply = s.makefile().readline()
+            assert reply.startswith("ERROR ")
+        finally:
+            srv.shutdown()
