@@ -146,13 +146,13 @@ def _decode_bmp(payload: bytes) -> tuple[str, int, int, int, int, bytes]:
     (compression,) = struct.unpack("<I", payload[30:34])
     if compression == 0:
         return "image", int(w), abs(int(h)), 1, 0, payload[data_off:]
-    if compression != 1:  # BI_RLE4/BI_BITFIELDS/…
+    if compression not in (1, 2):  # BI_BITFIELDS/JPEG/PNG payloads
         raise NotImplementedError("compressed BMP requires an image lib")
-    if bitcount != 8:
-        raise ValueError("BI_RLE8 requires 8-bit palette BMP")
+    if (compression == 1 and bitcount != 8) or (compression == 2 and bitcount != 4):
+        raise ValueError("BI_RLE bit depth / compression mismatch")
     (dib_size,) = struct.unpack("<I", payload[14:18])
     (clr_used,) = struct.unpack("<I", payload[46:50])
-    n_pal = clr_used or 256
+    n_pal = clr_used or (256 if bitcount == 8 else 16)
     pal_off = 14 + dib_size
     pal = np.frombuffer(payload, dtype=np.uint8, count=n_pal * 4, offset=pal_off)
     pal = pal.reshape(n_pal, 4)[:, [2, 1, 0]]  # BGRA → RGB
@@ -163,8 +163,11 @@ def _decode_bmp(payload: bytes) -> tuple[str, int, int, int, int, bytes]:
     while p + 1 < len(payload):
         cnt, val = payload[p], payload[p + 1]
         p += 2
-        if cnt > 0:  # run
-            idx[y, x : x + cnt] = val
+        if cnt > 0:  # run; RLE4 runs alternate the value's two nibbles
+            if bitcount == 8:
+                idx[y, x : x + cnt] = val
+            else:
+                idx[y, x : x + cnt] = [(val >> 4, val & 15)[i & 1] for i in range(cnt)]
             x += cnt
         elif val == 0:  # end of line
             x, y = 0, y + 1
@@ -174,10 +177,17 @@ def _decode_bmp(payload: bytes) -> tuple[str, int, int, int, int, bytes]:
             x += payload[p]
             y += payload[p + 1]
             p += 2
-        else:  # absolute literals, padded to even byte count
-            idx[y, x : x + val] = np.frombuffer(payload, np.uint8, count=val, offset=p)
+        else:  # absolute literals, padded to an even BYTE count
+            if bitcount == 8:
+                idx[y, x : x + val] = np.frombuffer(payload, np.uint8, count=val, offset=p)
+                nbytes = val
+            else:
+                nb = np.frombuffer(payload, np.uint8, count=(val + 1) // 2, offset=p)
+                nibbles = np.stack([nb >> 4, nb & 15], axis=1).reshape(-1)[:val]
+                idx[y, x : x + val] = nibbles
+                nbytes = (val + 1) // 2
             x += val
-            p += val + (val & 1)
+            p += nbytes + (nbytes & 1)
     rgb = pal[idx.reshape(-1)].reshape(ah, int(w), 3)
     if int(h) > 0:
         rgb = rgb[::-1]  # bottom-up → top-down

@@ -587,11 +587,31 @@ class TestDepth16AndRle8:
         assert np.array_equal(rgb[1], pal[[0, 0, 2, 2, 2, 2]])
         assert np.array_equal(rgb[0], pal[[3] * 6])
 
-    def test_rle4_still_gated(self):
-        dib = struct.pack("<IiiHHIIiiII", 40, 4, 2, 1, 4, 2, 8, 0, 0, 0, 0)
-        header = b"BM" + struct.pack("<IHHI", 62, 0, 0, 54)
+    def test_rle4_bmp(self):
+        """BI_RLE4: runs alternate the two nibbles; absolute literals are
+        nibble-packed with byte-pair padding."""
+        w, h = 7, 2
+        pal = bytes()
+        for i in range(16):
+            pal += bytes([i * 3 + 2, i * 3 + 1, i * 3, 0])
+        # bottom row: run 4 of 0x12 (1,2,1,2), abs 3 literals [3,4,5]
+        # (2 nibble bytes, even => no pad), EOL; top row: run 7 of 0x55, EOD
+        rle = bytes([4, 0x12, 0, 3, 0x34, 0x50, 0, 0, 7, 0x55, 0, 1])
+        dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 4, 2, len(rle), 0, 0, 16, 0)
+        data_off = 14 + 40 + len(pal)
+        header = b"BM" + struct.pack("<IHHI", data_off + len(rle), 0, 0, data_off)
+        kind, gw, gh, *_rest, body = MM._parse_header(header + dib + pal + rle)
+        assert (gw, gh) == (7, 2)
+        rgb = np.frombuffer(body, np.uint8).reshape(2, 7, 3)
+        p = np.array([[i * 3, i * 3 + 1, i * 3 + 2] for i in range(16)])
+        assert np.array_equal(rgb[1], p[[1, 2, 1, 2, 3, 4, 5]])  # bottom
+        assert np.array_equal(rgb[0], p[[5] * 7])  # top
+
+    def test_bitfields_bmp_still_gated(self):
+        dib = struct.pack("<IiiHHIIiiII", 40, 4, 2, 1, 16, 3, 16, 0, 0, 0, 0)
+        header = b"BM" + struct.pack("<IHHI", 70, 0, 0, 54)
         with pytest.raises((NotImplementedError, ValueError)):
-            MM._parse_header(header + dib + bytes(8))
+            MM._parse_header(header + dib + bytes(16))
 
     @staticmethod
     def _packed_png(vals: "np.ndarray", depth: int, color_type: int, interlace=0) -> bytes:
