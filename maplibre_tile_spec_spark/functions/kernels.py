@@ -132,6 +132,10 @@ def varint_decode(buf: bytes | np.ndarray, count: int, offset: int = 0) -> tuple
                 if b < 0x80:
                     break
                 shift += 7
+                if shift > 63:
+                    # match the vectorized path's failure surface: a run of
+                    # 0x80 continuation bytes must fail loudly, not overflow
+                    raise ValueError("varint too long (more than 10 bytes)")
             out[i] = v
         return out, p
     data = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf

@@ -1744,6 +1744,11 @@ def fsst_decode(symbol_table: bytes, symbol_lengths: np.ndarray, compressed: byt
         ids = ids[is_token]
     else:
         ids = data.astype(np.int64)
+    # corrupt streams must fail loudly: a symbol code at/above the table
+    # size would gather a zero-length entry and silently emit nothing
+    # (ids >= 256 are the escape literals, always valid)
+    if nsym < 255 and bool(((ids < 256) & (ids >= nsym)).any()):
+        raise ValueError(f"FSST stream references symbol >= table size {nsym}")
     out_lens = tbl_len[ids]
     out_starts = tbl_off[ids]
     total = int(out_lens.sum())

@@ -332,6 +332,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev = object()
+    converged = False
     for _ in range(max_iter):
         nbr = edges.join(labels, edges["v"] == labels["id"]).select(
             F.col("u").alias("id"), "comp"
@@ -347,9 +348,20 @@ def connected_components(
         labels = jumped.localCheckpoint(eager=False)
         s = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")).first()["s"]
         if s == prev:
+            converged = True
             break
         prev = s
     edges.unpersist()
+    if not converged:
+        # silently-unconverged labels would merge downstream clusters on
+        # wrong components with no signal (ADVICE r5) — fail loudly; with
+        # pointer jumping, max_iter=30 covers diameter ~2^30, so hitting
+        # this means a pathological input, not a tuning matter
+        raise RuntimeError(
+            f"connected_components did not converge in max_iter={max_iter} "
+            "iterations; raise max_iter (pointer jumping converges in "
+            "O(log diameter) rounds)"
+        )
     return labels
 
 

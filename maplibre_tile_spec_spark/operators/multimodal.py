@@ -8,13 +8,14 @@ chunk walk → sample_rate, frame count, raw PCM body), **PNG** (stdlib zlib
 inflate + chunk walk + Sub/Up/Average/Paeth scanline defilter, incl.
 palette expansion and **Adam7 interlacing**), **baseline + progressive
 JPEG** (from-scratch T.81 Huffman + IDCT + chroma upsampling + Annex G
-progressive scans, functions/jpeg.py), **uncompressed BMP**
-(BITMAPINFOHEADER), and **binary PPM/PGM**. Remaining compressed formats
-(MP3/MP4/WEBP) are the one STUB:
+progressive scans, functions/jpeg.py), **BMP** (BITMAPINFOHEADER
+uncompressed + RLE4/RLE8), and **binary PPM/PGM**; PNG covers 1/2/4/8/16-bit
+depths (16-bit reduced to the high byte) and Adam7 interlacing. Remaining
+compressed formats (MP3 full PCM, MP4, lossy-VP8 WEBP) are the one STUB:
 they need PIL/libav, which are not in this container — the
 ``_try_pil_decode`` capability gate makes production a pure library swap;
 nothing else changes. A magic-matched decoder that rejects its payload
-(non-WAVE RIFF, 16-bit PNG) also falls through to the gate first.
+(e.g. non-WAVE RIFF) also falls through to the gate first.
 """
 
 from __future__ import annotations
@@ -295,10 +296,11 @@ _ADAM7 = [
 
 def _decode_png(payload: bytes) -> tuple[str, int, int, int, int, bytes]:
     """Real PNG decode from scratch — stdlib zlib inflate + IHDR/IDAT chunk
-    walk + scanline defilter (VERDICT r3 ask #3). Supports 8-bit depth,
-    color types gray/RGB/palette/gray+alpha/RGBA, non-interlaced AND
+    walk + scanline defilter (VERDICT r3 ask #3). Supports 1/2/4/8/16-bit
+    depths, color types gray/RGB/palette/gray+alpha/RGBA, non-interlaced AND
     Adam7-interlaced (each pass an independently filtered sub-image,
-    scattered by strided assignment); 16-bit raises."""
+    scattered by strided assignment); 16-bit samples are decoded and
+    reduced to their high byte."""
     import zlib
 
     if payload[:8] != _PNG_MAGIC:

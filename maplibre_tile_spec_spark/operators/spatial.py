@@ -82,11 +82,22 @@ def polygon_cover(
 #: join-side refine path that never collects geometry to the driver.
 PIP_BROADCAST_MAX_POLYS = 50_000
 
-#: probe-verdict memo keyed by the polygon plan's ``semanticHash()`` so
-#: iterative callers (e.g. a pipeline invoking :func:`pip_join` per batch on
-#: the same polygon table) pay the bounded probe job once, not per call
-#: (ADVICE r4). Bounded; cleared wholesale if it ever grows past 256 plans.
-_PIP_PROBE_CACHE: dict[tuple[int, int], bool] = {}
+#: probe-verdict memo keyed by (SparkSession, polygon plan ``semanticHash()``)
+#: so iterative callers (e.g. a pipeline invoking :func:`pip_join` per batch
+#: on the same polygon table) pay the bounded probe job once, not per call
+#: (ADVICE r4). ``semanticHash`` hashes the PLAN, not the data, so a
+#: broadcast=True verdict is re-probed after :data:`PIP_PROBE_TTL_CALLS`
+#: reuses — a polygon source that grows past the cutoff under the same plan
+#: (e.g. a streaming-updated table) regains the co-located path within a
+#: bounded number of calls instead of keeping a stale broadcast verdict
+#: forever (ADVICE r5). broadcast=False verdicts are kept indefinitely:
+#: the co-located path is safe at every size, never driver-OOM. Bounded;
+#: cleared wholesale if it ever grows past 256 plans.
+_PIP_PROBE_CACHE: dict[tuple[int, int, int], list] = {}
+
+#: number of cache hits a broadcast=True probe verdict serves before the
+#: probe re-runs (data-freshness guard for growing polygon sources).
+PIP_PROBE_TTL_CALLS = 16
 
 
 def pip_join(
@@ -112,20 +123,30 @@ def pip_join(
     OOM the driver via a forgotten flag. Pass True/False to force a branch.
 
     The probe is **eager** (one extra Spark job at plan-construction time)
-    but memoized per polygon plan (``semanticHash``), so iterative callers
-    pay it once; a True/False hint skips it entirely — no job runs before
-    the returned DataFrame is acted on.
+    but memoized per (session, polygon plan); a True/False hint skips it
+    entirely — no job runs before the returned DataFrame is acted on.
+    Because ``semanticHash`` keys the plan rather than the data, a cached
+    broadcast=True verdict expires after :data:`PIP_PROBE_TTL_CALLS` reuses
+    so a growing polygon source re-probes within a bounded number of calls
+    (stale-broadcast exposure is at most TTL batches, not forever).
     """
     if broadcast_polys == "auto":
-        key = (polys.semanticHash(), PIP_BROADCAST_MAX_POLYS)
-        cached = _PIP_PROBE_CACHE.get(key)
-        if cached is None:
+        key = (id(polys.sparkSession), polys.semanticHash(), PIP_BROADCAST_MAX_POLYS)
+        entry = _PIP_PROBE_CACHE.get(key)
+        # a True verdict expires after PIP_PROBE_TTL_CALLS hits: semanticHash
+        # keys the plan, not the data, and a source grown past the cutoff
+        # must fall back to the co-located path (False verdicts never expire
+        # — that path is size-safe)
+        if entry is not None and entry[0] and entry[1] >= PIP_PROBE_TTL_CALLS:
+            entry = None
+        if entry is None:
             probe = polys.limit(PIP_BROADCAST_MAX_POLYS + 1).count()
-            cached = probe <= PIP_BROADCAST_MAX_POLYS
+            entry = [probe <= PIP_BROADCAST_MAX_POLYS, 0]
             if len(_PIP_PROBE_CACHE) >= 256:
                 _PIP_PROBE_CACHE.clear()
-            _PIP_PROBE_CACHE[key] = cached
-        broadcast_polys = cached
+            _PIP_PROBE_CACHE[key] = entry
+        entry[1] += 1
+        broadcast_polys = entry[0]
     cover = polygon_cover(polys, levels=levels)
     if broadcast_polys:
         cover = F.broadcast(cover)
