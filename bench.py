@@ -48,6 +48,7 @@ HEADLINE = [
     "dedup_exact",
     "minhash_lsh_pairs",
     "dedup_cluster",
+    "dedup_incremental",
     "ngram_jaccard",
     "simhash_pairs",
     "lang_id",

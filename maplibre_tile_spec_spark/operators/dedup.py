@@ -125,6 +125,24 @@ def _scoped_materialize(result: DataFrame, *intermediates: DataFrame) -> DataFra
     return out
 
 
+def band_sig_expr(n_bands: int, band_size: int):
+    """Column expr: the ``mhs`` signature array → array of n_bands md5 band
+    signatures (each band = md5 of its ``band_size`` comma-joined members).
+    Shared by the self-join pair emitter and the incremental band store so
+    stored and freshly-computed band signatures are bit-identical."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.col("mhs"), b * band_size + 1, band_size), lambda x: x.cast("string")
+                ),
+            )
+        ),
+    )
+
+
 def lsh_candidate_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -141,18 +159,7 @@ def lsh_candidate_pairs(
     # n_hashes×shingles md5 computation inlines into every band AND both
     # self-join sides (~32× recompute observed at bench scale)
     sigs = minhash_signatures(docs, text_col, id_col, n_hashes, shingle_size, fast).persist()
-    bands = F.transform(
-        F.sequence(F.lit(0), F.lit(n_bands - 1)),
-        lambda b: F.md5(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.slice(F.col("mhs"), b * band_size + 1, band_size), lambda x: x.cast("string")
-                ),
-            )
-        ),
-    )
-    bdf = sigs.select("id", F.posexplode(bands).alias("band", "sig"))
+    bdf = sigs.select("id", F.posexplode(band_sig_expr(n_bands, band_size)).alias("band", "sig"))
     a = bdf.alias("a")
     b = bdf.alias("b")
     pairs = (

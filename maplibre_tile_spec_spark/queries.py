@@ -672,6 +672,57 @@ FROM assign GROUP BY cluster_id
 """
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH dedup pipeline: 80% of the documents form the
+    standing corpus — resolved once into a bucketed (band, sig) band store
+    plus a cluster map — and the remaining 20% (doc_id % 5 == 0) arrive as
+    a new batch deduplicated against the STORE ONLY (the old documents are
+    never rescanned; plan-pinned in TestIncrementalDedup). The returned
+    post-merge cluster table must equal a full recompute over old ∪ new —
+    which is exactly what the DuckDB twin computes (same SQL as
+    ``dedup_cluster``), so the oracle check IS the incremental ≡ full
+    contract."""
+    from maplibre_tile_spec_spark.operators import dedup
+    from maplibre_tile_spec_spark.operators import dedup_incremental as DI
+
+    d = tables.load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    old_docs = d.filter(F.col("doc_id") % 5 != 0)
+    new_docs = d.filter(F.col("doc_id") % 5 == 0)
+    # ---- standing state (amortized across batches in production) ----
+    store_table = DI.ensure_store_table(spark, sf_dir.rstrip("/").split("/")[-1])
+    DI.write_band_store(DI.minhash_band_table(old_docs), store_table)
+    old_pairs = dedup.lsh_candidate_pairs(old_docs)
+    cluster_map = (
+        dedup.cluster_assign(old_docs.select("doc_id"), old_pairs)
+        .select(F.col("doc_id").alias("id"), "cluster_id")
+        .persist()
+    )
+    cluster_map.count()
+    old_pairs.unpersist()
+    # ---- the incremental batch ----
+    res = DI.lsh_dedup_incremental(new_docs, spark.table(store_table), cluster_map)
+    updated = DI.updated_assignment(cluster_map, res)
+    out = updated.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"), F.max("id").alias("member_max")
+    )
+    out = out.persist()
+    out.count()
+    for df in (cluster_map, res.new_assign, res.remap, res.new_bands):
+        df.unpersist()
+    return out
+
+
+def _sql_dedup_incremental() -> str:
+    """Oracle = FULL RECOMPUTE over all documents: if the incremental path
+    (band-store probe + contracted components + remap) is correct, its
+    merged output is indistinguishable from recomputing clusters from
+    scratch — the strongest possible cross-engine check of the incremental
+    semantics."""
+    return _sql_dedup_cluster()
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs ≥ 0.2 via inverted-index join."""
     from maplibre_tile_spec_spark.operators import dedup
@@ -1399,6 +1450,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize_events": q_sessionize_events,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "dedup_cluster": q_dedup_cluster,
+    "dedup_incremental": q_dedup_incremental,
     "ngram_jaccard": q_ngram_jaccard,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -1435,6 +1487,7 @@ ORACLES: dict[str, str] = {
     "sessionize_events": _sql_sessionize_events(),
     "minhash_lsh_pairs": _sql_minhash_lsh_pairs(),
     "dedup_cluster": _sql_dedup_cluster(),
+    "dedup_incremental": _sql_dedup_incremental(),
     "ngram_jaccard": _sql_ngram_jaccard(),
     "lang_id": _sql_lang_id(),
     "quality_score": _sql_quality_score(),
