@@ -10,8 +10,11 @@ palette expansion and **Adam7 interlacing**), **baseline + progressive
 JPEG** (from-scratch T.81 Huffman + IDCT + chroma upsampling + Annex G
 progressive scans, functions/jpeg.py), **BMP** (BITMAPINFOHEADER
 uncompressed + RLE4/RLE8), and **binary PPM/PGM**; PNG covers 1/2/4/8/16-bit
-depths (16-bit reduced to the high byte) and Adam7 interlacing. Remaining
-compressed formats (MP3 full PCM, MP4, lossy-VP8 WEBP) are the one STUB:
+depths (16-bit reduced to the high byte) and Adam7 interlacing. **MP3**
+decodes header-level metadata for real (MPEG audio frame-header walk →
+sample_rate, total sample count, the compressed stream body — no PCM
+synthesis, mirroring the WAV header-features model). Remaining compressed
+formats (MP3 full PCM synthesis, MP4, lossy-VP8 WEBP) are the one STUB:
 they need PIL/libav, which are not in this container — the
 ``_try_pil_decode`` capability gate makes production a pure library swap;
 nothing else changes. A magic-matched decoder that rejects its payload
@@ -134,6 +137,92 @@ def _decode_wav(payload: bytes) -> tuple[str, int, int, int, int, bytes]:
     if rate is None or data is None or not block_align:
         raise ValueError("WAV missing fmt/data chunk")
     return "audio", 0, 0, len(data) // block_align, rate, data
+
+
+# MPEG audio frame-header tables (ISO/IEC 11172-3 / 13818-3). Bitrate rows
+# are keyed (version_group, layer): kbps for index 1-14; index 0 (free
+# format) has no computable frame length and falls to the library gate.
+_MP3_BITRATES = {
+    # MPEG1
+    (1, 1): [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    (1, 2): [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    (1, 3): [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    # MPEG2 / 2.5 (the low-sample-rate extensions share one table set)
+    (2, 1): [0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+    (2, 2): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    (2, 3): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+}
+#: sample rates by version bits (00=MPEG2.5, 10=MPEG2, 11=MPEG1), index 0-2
+_MP3_RATES = {0: [11025, 12000, 8000], 2: [22050, 24000, 16000], 3: [44100, 48000, 32000]}
+
+
+def _decode_mp3(payload: bytes) -> tuple[str, int, int, int, int, bytes]:
+    """MP3 header-level metadata decode — pure struct walking, no library.
+
+    Walks every MPEG audio frame header (sync + version/layer/bitrate/
+    sample-rate fields → per-frame byte length), skipping a leading ID3v2
+    tag and a trailing ID3v1 'TAG' block. Returns n_frames = total audio
+    samples per channel (so duration = n_frames / sample_rate, the same
+    contract as the WAV decoder) and the compressed frame stream as the
+    body. No PCM is synthesized — full decode stays behind the library
+    gate; this is the header-features model the engine uses for audio
+    (VERDICT r5 task #4). Handles VBR streams by construction (per-frame
+    lengths are re-read from each header)."""
+    pos = 0
+    if payload[:3] == b"ID3":
+        if len(payload) < 10:
+            raise ValueError("truncated ID3v2 header")
+        # syncsafe 28-bit size, excludes the 10-byte header itself
+        sz = (
+            ((payload[6] & 0x7F) << 21)
+            | ((payload[7] & 0x7F) << 14)
+            | ((payload[8] & 0x7F) << 7)
+            | (payload[9] & 0x7F)
+        )
+        pos = 10 + sz + (10 if payload[5] & 0x10 else 0)  # footer flag
+    end = len(payload)
+    if end >= 128 and payload[end - 128 : end - 125] == b"TAG":
+        end -= 128  # ID3v1 trailer
+    start = pos
+    n_frames = 0
+    total_samples = 0
+    rate_out = 0
+    while pos + 4 <= end:
+        b0, b1, b2, _b3 = payload[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            if n_frames:
+                break  # trailing junk after a valid frame run
+            raise ValueError("no MPEG audio frame sync")
+        ver_bits = (b1 >> 3) & 0x3
+        layer_bits = (b1 >> 1) & 0x3
+        if ver_bits == 1 or layer_bits == 0:
+            raise ValueError("reserved MPEG version/layer bits")
+        layer = 4 - layer_bits  # 11→Layer I, 10→II, 01→III
+        br_idx = (b2 >> 4) & 0xF
+        sr_idx = (b2 >> 2) & 0x3
+        padding = (b2 >> 1) & 0x1
+        if br_idx == 0xF or sr_idx == 3:
+            raise ValueError("invalid MP3 bitrate/sample-rate index")
+        if br_idx == 0:
+            raise ValueError("free-format MP3 bitrate not supported")
+        vgroup = 1 if ver_bits == 3 else 2
+        bitrate = _MP3_BITRATES[(vgroup, layer)][br_idx] * 1000
+        rate = _MP3_RATES[ver_bits][sr_idx]
+        if layer == 1:
+            frame_len = (12 * bitrate // rate + padding) * 4
+            samples = 384
+        else:
+            samples = 1152 if (layer == 2 or vgroup == 1) else 576
+            frame_len = samples * bitrate // (8 * rate) + padding
+        if frame_len < 4:
+            raise ValueError("degenerate MP3 frame length")
+        n_frames += 1
+        total_samples += samples
+        rate_out = rate
+        pos += frame_len
+    if n_frames == 0:
+        raise ValueError("no complete MPEG audio frame")
+    return "audio", 0, 0, total_samples, rate_out, payload[start : min(pos, end)]
 
 
 def _decode_bmp(payload: bytes) -> tuple[str, int, int, int, int, bytes]:
@@ -381,6 +470,10 @@ def _decode_png(payload: bytes) -> tuple[str, int, int, int, int, bytes]:
     return "image", int(w), int(h), 1, 0, px.tobytes()
 
 
+#: insertion order matters: the matcher takes the FIRST prefix hit, so the
+#: 2-byte JPEG magic b"\xff\xd8" must precede the 1-byte MP3 sync b"\xff"
+#: (a bare-stream MP3 starts 0xFF 0xEx..0xFx, never 0xFF 0xD8 — 0xD8 fails
+#: the 3-sync-bit check — so the loose prefix is safe behind JPEG)
 _REAL_DECODERS = {
     b"RIFF": _decode_wav,
     _PNG_MAGIC: _decode_png,
@@ -388,6 +481,8 @@ _REAL_DECODERS = {
     b"BM": _decode_bmp,
     b"P6": _decode_pnm,
     b"P5": _decode_pnm,
+    b"ID3": _decode_mp3,
+    b"\xff": _decode_mp3,
 }
 
 
@@ -437,10 +532,11 @@ def _parse_header(payload: bytes) -> tuple[str, int, int, int, int, bytes]:
             raise ValueError(
                 f"undecodable media blob (magic matched): {matched_err}"
             ) from matched_err
-        # >>> STUB: remaining compressed formats (MP3/MP4/WEBP) need
-        # PIL / libav, which are not installed in this container. WAV / PNG
-        # (incl. Adam7) / baseline+progressive JPEG / BMP / PNM decode for
-        # real above with no library.
+        # >>> STUB: remaining compressed formats (MP4, lossy-VP8 WEBP,
+        # MP3 PCM synthesis) need PIL / libav, which are not installed in
+        # this container. WAV / PNG (incl. Adam7) / baseline+progressive
+        # JPEG / BMP / PNM / MP3 header metadata decode for real above
+        # with no library.
         raise NotImplementedError("compressed media decoding requires image/audio libs")
     kind_b, w, h, frames, rate = struct.unpack("<BHHHI", payload[4:15])
     kind = ["image", "audio", "video"][kind_b]

@@ -52,8 +52,11 @@ class TestMultimodal:
             assert per_vid[ref] == (n_frames - 1) // 5 + 1
 
     def test_real_format_stub_raises(self):
-        # MP3 stays behind the capability gate (JPEG now decodes for real)
+        # MP4 stays behind the capability gate (MP3 headers now decode for
+        # real — an ID3 tag with no audio frames is a loud ValueError)
         with pytest.raises(NotImplementedError):
+            MM._parse_header(bytes(4) + b"ftypisom" + bytes(24))
+        with pytest.raises(ValueError):
             MM._parse_header(b"ID3\x03\x00" + bytes(32))
 
 
@@ -666,3 +669,88 @@ class TestDepth16AndRle8:
         kind, w, h, *_rest, body = MM._parse_header(blob)
         assert (w, h) == (7, 9)
         assert body == pal[idx.reshape(-1)].tobytes()
+
+
+def _mp3_frame(bitrate_kbps=128, rate=44100, mpeg1=True, layer3=True, pad=0):
+    """Hand-build one MPEG audio frame (header + zero payload)."""
+    if mpeg1:
+        table = {128: 9, 192: 11, 64: 5, 320: 14, 32: 1}
+        ver_bits, spf = 3, 1152
+    else:
+        table = {64: 8, 32: 4, 8: 1}
+        ver_bits, spf = 2, 576
+    sr_map = {44100: 0, 48000: 1, 32000: 2} if mpeg1 else {22050: 0, 24000: 1, 16000: 2}
+    b1 = 0xE0 | (ver_bits << 3) | (0b01 << 1) | 1  # layer III, no CRC
+    b2 = (table[bitrate_kbps] << 4) | (sr_map[rate] << 2) | (pad << 1)
+    frame_len = spf * bitrate_kbps * 1000 // (8 * rate) + pad
+    hdr = bytes([0xFF, b1, b2, 0x00])
+    return hdr + bytes(frame_len - 4), spf
+
+
+def _id3v2(n_body=100):
+    # syncsafe size over 4 bytes
+    return b"ID3\x04\x00\x00" + bytes(
+        [(n_body >> 21) & 0x7F, (n_body >> 14) & 0x7F, (n_body >> 7) & 0x7F, n_body & 0x7F]
+    ) + bytes(n_body)
+
+
+class TestMp3HeaderDecode:
+    def test_cbr_stream(self):
+        f, spf = _mp3_frame(128, 44100)
+        kind, _w, _h, n, rate, body = MM._parse_header(f * 7)
+        assert (kind, n, rate) == ("audio", 7 * spf, 44100)
+        assert body == f * 7
+
+    def test_id3v2_prefix_and_id3v1_trailer(self):
+        f, spf = _mp3_frame(192, 48000)
+        blob = _id3v2(64) + f * 3 + b"TAG" + bytes(125)
+        kind, _w, _h, n, rate, body = MM._parse_header(blob)
+        assert (kind, n, rate) == ("audio", 3 * spf, 48000)
+        assert body == f * 3
+
+    def test_vbr_mixed_bitrates_and_padding(self):
+        fa, spf = _mp3_frame(64, 44100)
+        fb, _ = _mp3_frame(320, 44100, pad=1)
+        fc, _ = _mp3_frame(192, 44100)
+        kind, _w, _h, n, rate, _body = MM._parse_header(fa + fb + fc)
+        assert (kind, n, rate) == ("audio", 3 * spf, 44100)
+
+    def test_mpeg2_low_rate(self):
+        f, spf = _mp3_frame(64, 22050, mpeg1=False)
+        assert spf == 576
+        _k, _w, _h, n, rate, _b = MM._parse_header(f * 2)
+        assert (n, rate) == (2 * 576, 22050)
+
+    def test_trailing_junk_after_valid_run_is_tolerated(self):
+        f, spf = _mp3_frame(32, 32000)
+        _k, _w, _h, n, _rate, body = MM._parse_header(f * 2 + b"\x00garbage")
+        assert n == 2 * spf and body == f * 2
+
+    def test_bad_sync_and_free_format_raise(self):
+        with pytest.raises(ValueError):
+            MM._parse_header(b"\xff\x00\x00\x00" + bytes(64))
+        # free-format (bitrate index 0) has no computable frame length
+        free = bytes([0xFF, 0xFB, 0x00, 0x00]) + bytes(64)
+        with pytest.raises(ValueError):
+            MM._parse_header(free)
+        # reserved version bits
+        with pytest.raises(ValueError):
+            MM._parse_header(bytes([0xFF, 0xEB, 0x90, 0x00]) + bytes(64))
+
+    def test_jpeg_registry_precedence_unbroken(self):
+        # 0xFF 0xD8 must still route to the JPEG decoder, not the MP3 sync
+        with pytest.raises(ValueError, match="(?i)jpeg|marker|truncated|huffman|sos|segment"):
+            MM._parse_header(b"\xff\xd8\x00\x00 truncated jpeg")
+
+    def test_mp3_through_media_features(self, spark):
+        f, spf = _mp3_frame(128, 44100)
+        rows = [
+            ("mp3-1", "audio", 0, 0, 0, 0, _id3v2(32) + f * 5),
+            ("mp3-2", "audio", 0, 0, 0, 0, f * 2),
+        ]
+        media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+        got = {r.media_ref: r for r in MM.media_features(media).collect()}
+        assert got["mp3-1"].kind == "audio"
+        assert got["mp3-1"].n_frames == 5 * spf
+        assert got["mp3-1"].sample_rate == 44100
+        assert got["mp3-2"].n_frames == 2 * spf
