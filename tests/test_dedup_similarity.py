@@ -499,3 +499,57 @@ class TestIncrementalDedup:
         want_df.unpersist()
         cmap.unpersist()
         assert got == want
+
+
+class TestStarComponents:
+    """VERDICT r5 #6: large-star/small-star variant — identical labels to
+    pointer jumping and the union-find oracle on every graph shape."""
+
+    def test_star_matches_union_find_on_lsh_pairs(self, spark, docs):
+        pairs = dedup.lsh_candidate_pairs(docs)
+        edge_rows = [(r.doc_a, r.doc_b) for r in pairs.collect()]
+        verts = {v for e in edge_rows for v in e}
+        expect = _union_find(edge_rows, verts)
+        got = {
+            r.id: r.comp
+            for r in dedup.connected_components(pairs, algorithm="star").collect()
+        }
+        assert got == expect
+        pairs.unpersist()
+
+    def test_star_chain_and_random_match_jump(self, spark):
+        import random
+
+        rng = random.Random(42)
+        # adversarial chain (high diameter) + random sparse graph + self loops
+        chain = [(i, i + 1) for i in range(300)]
+        rand = [(rng.randrange(500, 900), rng.randrange(500, 900)) for _ in range(400)]
+        edges = chain + rand + [(1000, 1000)]
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        verts = {v for e in edges for v in e}
+        expect = _union_find(edges, verts)
+        star = {
+            r.id: r.comp
+            for r in dedup.connected_components(pairs, algorithm="star").collect()
+        }
+        jump = {r.id: r.comp for r in dedup.connected_components(pairs).collect()}
+        assert star == expect
+        assert jump == expect
+
+    def test_star_converges_in_few_rounds_on_chain(self, spark):
+        # O(log² n) structure-independence: a 400-diameter chain must
+        # resolve well within 15 rounds (pointer jumping needs ~log2(400)=9
+        # label rounds; star needs ~log rounds too but per-round cost is
+        # structure-independent)
+        edges = [(i, i + 1) for i in range(400)]
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {
+            r.id: r.comp
+            for r in dedup.connected_components(pairs, algorithm="star", max_iter=15).collect()
+        }
+        assert got == {i: 0 for i in range(401)}
+
+    def test_unknown_algorithm_raises(self, spark):
+        pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+        with pytest.raises(ValueError, match="algorithm"):
+            dedup.connected_components(pairs, algorithm="bogus")
