@@ -13,12 +13,14 @@ uncompressed + RLE4/RLE8), and **binary PPM/PGM**; PNG covers 1/2/4/8/16-bit
 depths (16-bit reduced to the high byte) and Adam7 interlacing. **MP3**
 decodes header-level metadata for real (MPEG audio frame-header walk →
 sample_rate, total sample count, the compressed stream body — no PCM
-synthesis, mirroring the WAV header-features model). Remaining compressed
-formats (MP3 full PCM synthesis, MP4, lossy-VP8 WEBP) are the one STUB:
-they need PIL/libav, which are not in this container — the
+synthesis, mirroring the WAV header-features model). **WEBP-lossless
+(VP8L)** decodes for real from scratch (functions/vp8l.py: canonical
+prefix codes, LZ77 + color cache, all four transforms). Remaining
+compressed formats (MP3 full PCM synthesis, MP4, lossy-VP8 WEBP) are the
+one STUB: they need PIL/libav, which are not in this container — the
 ``_try_pil_decode`` capability gate makes production a pure library swap;
 nothing else changes. A magic-matched decoder that rejects its payload
-(e.g. non-WAVE RIFF) also falls through to the gate first.
+(e.g. a non-WAVE/WEBP RIFF) also falls through to the gate first.
 """
 
 from __future__ import annotations
@@ -115,6 +117,19 @@ def _try_pil_decode(payload: bytes):
     img.load()
     body = img.tobytes()
     return "image", img.width, img.height, 1, 0, body
+
+
+def _decode_riff(payload: bytes) -> tuple[str, int, int, int, int, bytes]:
+    """RIFF form-type dispatch: WAVE → the WAV decoder, WEBP → the
+    from-scratch VP8L decoder (functions/vp8l.py); other RIFF containers
+    (AVI, …) fall through to the library gate."""
+    form = payload[8:12] if len(payload) >= 12 else b""
+    if form == b"WEBP":
+        from maplibre_tile_spec_spark.functions.vp8l import decode_webp
+
+        w, h, rgba = decode_webp(payload)
+        return "image", w, h, 1, 0, rgba.tobytes()
+    return _decode_wav(payload)
 
 
 def _decode_wav(payload: bytes) -> tuple[str, int, int, int, int, bytes]:
@@ -475,7 +490,7 @@ def _decode_png(payload: bytes) -> tuple[str, int, int, int, int, bytes]:
 #: (a bare-stream MP3 starts 0xFF 0xEx..0xFx, never 0xFF 0xD8 — 0xD8 fails
 #: the 3-sync-bit check — so the loose prefix is safe behind JPEG)
 _REAL_DECODERS = {
-    b"RIFF": _decode_wav,
+    b"RIFF": _decode_riff,
     _PNG_MAGIC: _decode_png,
     b"\xff\xd8": _decode_jpeg,
     b"BM": _decode_bmp,

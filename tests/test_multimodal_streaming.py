@@ -242,13 +242,21 @@ class TestRealFormats:
         assert ei.value.__cause__ is not None
 
     def test_riff_non_wave_falls_through_to_gate(self):
-        """ADVICE r3: a WEBP/AVI RIFF container must not die inside the WAV
-        decoder — it falls through to the PIL gate and (PIL absent) raises
-        the honest capability error, not 'not a RIFF/WAVE stream'."""
-        webp = b"RIFF" + struct.pack("<I", 20) + b"WEBP" + bytes(16)
+        """ADVICE r3: an AVI (or other non-WAVE/WEBP) RIFF container must
+        not die inside the WAV decoder — it falls through to the PIL gate
+        and (PIL absent) raises the honest capability error."""
+        avi = b"RIFF" + struct.pack("<I", 20) + b"AVI " + bytes(16)
         with pytest.raises((NotImplementedError, ValueError)) as ei:
-            MM._parse_header(webp)
+            MM._parse_header(avi)
         assert "RIFF/WAVE" in str(ei.value) or "image/audio libs" in str(ei.value)
+
+    def test_webp_without_vp8l_fails_loudly(self):
+        """A WEBP container with no VP8L chunk (e.g. animation-only) is a
+        stable ValueError, not a crash inside the bit reader."""
+        webp = b"RIFF" + struct.pack("<I", 20) + b"WEBP" + bytes(16)
+        with pytest.raises(ValueError) as ei:
+            MM._parse_header(webp)
+        assert "VP8L" in str(ei.value)
 
 
 def _filter_image(pixels: "np.ndarray", filters) -> bytearray:
