@@ -13,14 +13,16 @@ uncompressed + RLE4/RLE8), and **binary PPM/PGM**; PNG covers 1/2/4/8/16-bit
 depths (16-bit reduced to the high byte) and Adam7 interlacing. **MP3**
 decodes header-level metadata for real (MPEG audio frame-header walk →
 sample_rate, total sample count, the compressed stream body — no PCM
-synthesis, mirroring the WAV header-features model). **WEBP-lossless
-(VP8L)** decodes for real from scratch (functions/vp8l.py: canonical
-prefix codes, LZ77 + color cache, all four transforms). Remaining
-compressed formats (MP3 full PCM synthesis, MP4, lossy-VP8 WEBP) are the
-one STUB: they need PIL/libav, which are not in this container — the
-``_try_pil_decode`` capability gate makes production a pure library swap;
-nothing else changes. A magic-matched decoder that rejects its payload
-(e.g. a non-WAVE/WEBP RIFF) also falls through to the gate first.
+synthesis, mirroring the WAV header-features model), and so does
+**MP4/ISO-BMFF** (box walk → track handlers, dimensions, sample counts,
+timescales). **WEBP-lossless (VP8L)** decodes for real from scratch
+(functions/vp8l.py: canonical prefix codes, LZ77 + color cache, all four
+transforms). Remaining compressed payloads (MP3/MP4 sample synthesis,
+lossy-VP8 WEBP) are the one STUB: they need PIL/libav, which are not in
+this container — the ``_try_pil_decode`` capability gate makes production
+a pure library swap; nothing else changes. A magic-matched decoder that
+rejects its payload (e.g. a non-WAVE/WEBP RIFF) also falls through to the
+gate first.
 """
 
 from __future__ import annotations
@@ -238,6 +240,106 @@ def _decode_mp3(payload: bytes) -> tuple[str, int, int, int, int, bytes]:
     if n_frames == 0:
         raise ValueError("no complete MPEG audio frame")
     return "audio", 0, 0, total_samples, rate_out, payload[start : min(pos, end)]
+
+
+def _mp4_boxes(buf: bytes, start: int, end: int):
+    """Iterate ISO-BMFF boxes in buf[start:end) → (type, body_start,
+    body_end). Handles 64-bit largesize and size-0 (to end-of-parent)."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", buf[pos : pos + 4])
+        btype = buf[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated MP4 largesize box")
+            (size,) = struct.unpack(">Q", buf[pos + 8 : pos + 16])
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < body - pos or pos + size > end:
+            raise ValueError("MP4 box overruns its parent")
+        yield btype, body, pos + size
+        pos += size
+
+
+def _decode_mp4(payload: bytes) -> tuple[str, int, int, int, int, bytes]:
+    """MP4/ISO-BMFF header-level metadata decode — pure box walking, no
+    library (the MP3/WAV header-features model: no audio/video samples
+    are decoded; those stay behind the library gate).
+
+    Walks moov → trak → {tkhd, mdia → {mdhd, hdlr, minf → stbl → stts}}:
+    a 'vide' track yields kind="video" with tkhd 16.16 width/height and
+    n_frames = total stts sample count; audio-only files yield
+    kind="audio" with n_frames = mdhd duration (timescale units — for
+    audio tracks the timescale is the sample rate, preserving the
+    duration = n_frames / sample_rate contract) and rate = mdhd
+    timescale. The body is the concatenated mdat payload (the compressed
+    stream)."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF (ftyp) stream")
+    tracks = []  # (handler, width, height, n_samples, timescale, duration)
+    mdat = []
+    for btype, b0, b1 in _mp4_boxes(payload, 0, len(payload)):
+        if btype == b"mdat":
+            mdat.append(payload[b0:b1])
+        elif btype == b"moov":
+            for mtype, m0, m1 in _mp4_boxes(payload, b0, b1):
+                if mtype != b"trak":
+                    continue
+                handler = b""
+                w = h = n_samples = timescale = duration = 0
+                for ttype, t0, t1 in _mp4_boxes(payload, m0, m1):
+                    if ttype == b"tkhd":
+                        ver = payload[t0]
+                        # width/height are the LAST two 16.16 fields
+                        w = struct.unpack(">I", payload[t1 - 8 : t1 - 4])[0] >> 16
+                        h = struct.unpack(">I", payload[t1 - 4 : t1])[0] >> 16
+                        del ver
+                    elif ttype == b"mdia":
+                        for dtype, d0, d1 in _mp4_boxes(payload, t0, t1):
+                            if dtype == b"mdhd":
+                                ver = payload[d0]
+                                if ver == 1:
+                                    timescale, duration = struct.unpack(
+                                        ">IQ", payload[d0 + 20 : d0 + 32]
+                                    )
+                                else:
+                                    timescale, duration = struct.unpack(
+                                        ">II", payload[d0 + 12 : d0 + 20]
+                                    )
+                            elif dtype == b"hdlr":
+                                handler = payload[d0 + 8 : d0 + 12]
+                            elif dtype == b"minf":
+                                for stype, s0, s1 in _mp4_boxes(payload, d0, d1):
+                                    if stype != b"stbl":
+                                        continue
+                                    for xtype, x0, x1 in _mp4_boxes(payload, s0, s1):
+                                        if xtype == b"stts":
+                                            (n_ent,) = struct.unpack(
+                                                ">I", payload[x0 + 4 : x0 + 8]
+                                            )
+                                            n_samples = sum(
+                                                struct.unpack(
+                                                    ">I",
+                                                    payload[x0 + 8 + 8 * i : x0 + 12 + 8 * i],
+                                                )[0]
+                                                for i in range(n_ent)
+                                            )
+                tracks.append((handler, w, h, n_samples, timescale, duration))
+    if not tracks:
+        raise ValueError("MP4 missing moov/trak")
+    body = b"".join(mdat)
+    vide = [t for t in tracks if t[0] == b"vide"]
+    soun = [t for t in tracks if t[0] == b"soun"]
+    if vide:
+        _, w, h, n_samples, _, _ = vide[0]
+        rate = soun[0][4] if soun else 0
+        return "video", w, h, n_samples, rate, body
+    if soun:
+        _, _, _, _, timescale, duration = soun[0]
+        return "audio", 0, 0, int(duration), int(timescale), body
+    raise ValueError("MP4 has no video or audio track")
 
 
 def _decode_bmp(payload: bytes) -> tuple[str, int, int, int, int, bytes]:
@@ -522,7 +624,13 @@ def _parse_header(payload: bytes) -> tuple[str, int, int, int, int, bytes]:
         import zlib
 
         matched_err: Exception | None = None
-        for magic, dec in _REAL_DECODERS.items():
+        decoders = list(_REAL_DECODERS.items())
+        if len(payload) >= 8 and payload[4:8] == b"ftyp":
+            # ISO-BMFF (MP4/M4A/MOV) magic sits at offset 4, after the
+            # first box's size field — prepend so the 0xFF MP3 sync never
+            # shadows it
+            decoders.insert(0, (payload[:4], _decode_mp4))
+        for magic, dec in decoders:
             if payload[: len(magic)] == magic:
                 try:
                     return dec(payload)

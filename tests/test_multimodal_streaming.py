@@ -762,3 +762,85 @@ class TestMp3HeaderDecode:
         assert got["mp3-1"].n_frames == 5 * spf
         assert got["mp3-1"].sample_rate == 44100
         assert got["mp3-2"].n_frames == 2 * spf
+
+
+def _box(btype: bytes, body: bytes, large: bool = False) -> bytes:
+    if large:
+        return struct.pack(">I", 1) + btype + struct.pack(">Q", 16 + len(body)) + body
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def _mp4_track(handler: bytes, *, w=0, h=0, timescale=0, duration=0,
+               sample_counts=(), mdhd_v1=False) -> bytes:
+    tkhd = _box(
+        b"tkhd",
+        bytes(4) + bytes(16) + bytes(16) + bytes(36)  # ver/flags, times+id, layer.., matrix
+        + struct.pack(">II", w << 16, h << 16),
+    )
+    if mdhd_v1:
+        mdhd = _box(b"mdhd", bytes([1, 0, 0, 0]) + bytes(16)
+                    + struct.pack(">IQ", timescale, duration) + bytes(4))
+    else:
+        mdhd = _box(b"mdhd", bytes(4) + bytes(8)
+                    + struct.pack(">II", timescale, duration) + bytes(4))
+    hdlr = _box(b"hdlr", bytes(4) + bytes(4) + handler + bytes(12))
+    stts = _box(b"stts", bytes(4) + struct.pack(">I", len(sample_counts))
+                + b"".join(struct.pack(">II", c, 1) for c in sample_counts))
+    stbl = _box(b"stbl", stts)
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    return _box(b"trak", tkhd + mdia)
+
+
+def _mp4(tracks: bytes, mdat: bytes = b"\x01\x02\x03", large_mdat: bool = False) -> bytes:
+    ftyp = _box(b"ftyp", b"isom" + bytes(4) + b"isomiso2")
+    mvhd = _box(b"mvhd", bytes(4) + bytes(8) + struct.pack(">II", 1000, 5000) + bytes(80))
+    moov = _box(b"moov", mvhd + tracks)
+    return ftyp + moov + _box(b"mdat", mdat, large=large_mdat)
+
+
+class TestMp4HeaderDecode:
+    def test_video_with_audio(self):
+        blob = _mp4(
+            _mp4_track(b"vide", w=640, h=360, timescale=30, duration=900,
+                       sample_counts=(100, 150))
+            + _mp4_track(b"soun", timescale=48000, duration=96000, sample_counts=(96000,))
+        )
+        kind, w, h, n, rate, body = MM._parse_header(blob)
+        assert (kind, w, h, n, rate) == ("video", 640, 360, 250, 48000)
+        assert body == b"\x01\x02\x03"
+
+    def test_audio_only_m4a(self):
+        blob = _mp4(_mp4_track(b"soun", timescale=44100, duration=441000))
+        kind, w, h, n, rate, _ = MM._parse_header(blob)
+        assert (kind, n, rate) == ("audio", 441000, 44100)
+        # duration/rate is seconds: 10 s
+        assert n // rate == 10
+
+    def test_mdhd_version1_and_largesize_mdat(self):
+        blob = _mp4(
+            _mp4_track(b"soun", timescale=8000, duration=16000, mdhd_v1=True),
+            mdat=b"\xaa" * 10,
+            large_mdat=True,
+        )
+        kind, _w, _h, n, rate, body = MM._parse_header(blob)
+        assert (kind, n, rate) == ("audio", 16000, 8000)
+        assert body == b"\xaa" * 10
+
+    def test_no_tracks_and_overrun_raise(self):
+        ftyp = _box(b"ftyp", b"isom" + bytes(8))
+        with pytest.raises(ValueError):
+            MM._parse_header(ftyp + _box(b"moov", b""))
+        bad = ftyp + struct.pack(">I", 10**6) + b"moov" + bytes(8)
+        with pytest.raises(ValueError):
+            MM._parse_header(bad)
+
+    def test_mp4_through_media_features(self, spark):
+        blob = _mp4(
+            _mp4_track(b"vide", w=64, h=48, timescale=25, duration=100, sample_counts=(10,))
+        )
+        media = spark.createDataFrame(
+            [("mp4-1", "video", 0, 0, 0, 0, blob)], MM.MEDIA_SCHEMA
+        )
+        (row,) = MM.media_features(media).collect()
+        assert (row.kind, row.n_frames, row.sample_rate) == ("video", 10, 0)
