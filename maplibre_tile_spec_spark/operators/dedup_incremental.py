@@ -108,7 +108,16 @@ def write_band_store(
     ``TestIncrementalDedup::test_probe_join_store_side_no_exchange``).
     ``mode="append"`` adds each batch's delta bands (Spark appends extra
     files per bucket; the join stays Exchange-free, at the cost of a
-    per-bucket merge sort)."""
+    per-bucket merge sort). Appends inherit the EXISTING table's bucket
+    count — Spark refuses mismatched bucketing, and the caller appending a
+    delta should never have to re-state the layout chosen at bootstrap."""
+    if mode == "append":
+        spark = bands.sparkSession
+        if spark.catalog.tableExists(table):
+            for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+                if r.col_name.strip() == "Num Buckets":
+                    n_buckets = int(r.data_type)
+                    break
     (
         bands.write.mode(mode)
         .bucketBy(n_buckets, "band", "sig")

@@ -147,3 +147,99 @@ def streaming_encode_tiles(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_dedup_incremental(
+    docs_stream: DataFrame,
+    band_store_table: str,
+    state_dir: str,
+    checkpoint_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **lsh_kw,
+):
+    """Streaming ingest dedup: each micro-batch of documents is
+    deduplicated against the standing corpus via ``foreachBatch`` over the
+    SAME batch :func:`~maplibre_tile_spec_spark.operators.dedup_incremental.
+    lsh_dedup_incremental` kernel — the streaming twin of the incremental
+    pipeline, completing the 100-TB ingest story (no corpus rescan, ever).
+
+    Standing state:
+
+    * ``band_store_table`` — the bucketed-by-(band, sig) band table; must
+      be bootstrapped once with ``write_band_store`` (an empty band frame
+      is a valid bootstrap). Each batch appends its delta bands.
+    * ``state_dir/map_v{batch_id}`` — versioned cluster-map snapshots
+      (``id``, ``cluster_id``); ``state_dir/MANIFEST.json`` records the
+      current version and the processed batch ids. The map is assignment-
+      sized (two longs per document), never document-sized; a table format
+      with row-level MERGE (Iceberg/Delta) would make the update
+      delta-sized as well — with plain parquet the snapshot rewrite is the
+      honest cost, and it also sidesteps Spark's cannot-overwrite-a-table-
+      being-read rule.
+    * ``state_dir/assign_{batch_id}`` — each batch's own assignments (the
+      per-batch output stream).
+
+    Idempotency under at-least-once ``foreachBatch`` replay: the manifest
+    is committed LAST (atomic rename), so a replayed batch whose manifest
+    entry exists is skipped outright. A crash between the band-store
+    append and the manifest commit can double-append a batch's band rows
+    on replay; duplicate band rows are correctness-neutral (the probe join
+    de-duplicates candidate pairs) and cost only their storage. The map
+    snapshot is keyed by batch id, so its rewrite is naturally idempotent.
+
+    Returns the started StreamingQuery."""
+    import json
+    import os
+
+    from maplibre_tile_spec_spark.operators import dedup_incremental as DI
+
+    manifest_path = os.path.join(state_dir, "MANIFEST.json")
+
+    def _read_manifest() -> dict:
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                return json.load(f)
+        return {"processed": [], "current_map": None}
+
+    def process(batch_df: DataFrame, batch_id: int):
+        man = _read_manifest()
+        if batch_id in man["processed"]:
+            return  # replayed batch: fully committed already
+        spark = batch_df.sparkSession
+        if man["current_map"] is None:
+            cluster_map = spark.createDataFrame([], "id long, cluster_id long")
+        else:
+            cluster_map = spark.read.parquet(
+                os.path.join(state_dir, man["current_map"])
+            )
+        # prior batches appended files under the same table: drop the
+        # cached file listing before re-reading
+        spark.catalog.refreshTable(band_store_table)
+        band_store = spark.table(band_store_table)
+        res = DI.lsh_dedup_incremental(
+            batch_df, band_store, cluster_map, text_col=text_col, id_col=id_col, **lsh_kw
+        )
+        updated = DI.updated_assignment(cluster_map, res)
+        map_name = f"map_v{batch_id}"
+        updated.write.mode("overwrite").parquet(os.path.join(state_dir, map_name))
+        res.new_assign.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"assign_{batch_id}")
+        )
+        DI.write_band_store(res.new_bands, band_store_table, mode="append")
+        res.new_bands.unpersist()
+        res.new_assign.unpersist()
+        res.remap.unpersist()
+        man["processed"].append(batch_id)
+        man["current_map"] = map_name
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(man, f)
+        os.replace(tmp, manifest_path)  # commit point
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

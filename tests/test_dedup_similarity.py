@@ -553,3 +553,68 @@ class TestStarComponents:
         pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
         with pytest.raises(ValueError, match="algorithm"):
             dedup.connected_components(pairs, algorithm="bogus")
+
+
+class TestStreamingIncrementalDedup:
+    """The streaming twin drives the identical incremental kernel per
+    micro-batch; the final standing cluster map must equal a one-shot batch
+    cluster_assign over everything, and replayed batches must be no-ops."""
+
+    def _drive(self, spark, src_dir, table, state, ckpt):
+        from maplibre_tile_spec_spark.streaming import stream_ops
+
+        schema = "doc_id long, text string"
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        q = stream_ops.streaming_dedup_incremental(stream, table, state, ckpt)
+        q.processAllAvailable()
+        q.stop()
+
+    def test_stream_equals_batch_and_replay_noop(self, spark, sf_dir, tmp_path):
+        import json
+        import os
+
+        from maplibre_tile_spec_spark.operators import dedup_incremental as DI
+
+        d = (
+            tables.load(spark, sf_dir, "documents")
+            .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+        )
+        src = str(tmp_path / "src")
+        d.repartition(3).write.parquet(src)
+        table = DI.ensure_store_table(spark, "pytest_stream")
+        DI.write_band_store(DI.minhash_band_table(d.limit(0)), table, n_buckets=8)
+        state = str(tmp_path / "state")
+        os.makedirs(state, exist_ok=True)
+        self._drive(spark, src, table, state, str(tmp_path / "ck1"))
+
+        man = json.load(open(os.path.join(state, "MANIFEST.json")))
+        assert len(man["processed"]) == 3
+        got = {
+            (r.id, r.cluster_id)
+            for r in spark.read.parquet(os.path.join(state, man["current_map"])).collect()
+        }
+        full_pairs = dedup.lsh_candidate_pairs(d)
+        want = {
+            (r.doc_id, r.cluster_id)
+            for r in dedup.cluster_assign(d.select("doc_id"), full_pairs).collect()
+        }
+        full_pairs.unpersist()
+        assert got == want
+
+        # fresh checkpoint over the same files → every batch replays →
+        # the manifest guard must skip them all and leave state untouched
+        self._drive(spark, src, table, state, str(tmp_path / "ck2"))
+        man2 = json.load(open(os.path.join(state, "MANIFEST.json")))
+        assert man2 == man
+        got2 = {
+            (r.id, r.cluster_id)
+            for r in spark.read.parquet(os.path.join(state, man2["current_map"])).collect()
+        }
+        assert got2 == want
+        # per-batch assignment outputs exist for each micro-batch
+        for b in man["processed"]:
+            assert spark.read.parquet(os.path.join(state, f"assign_{b}")).count() > 0
