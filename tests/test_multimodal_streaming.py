@@ -52,9 +52,9 @@ class TestMultimodal:
             assert per_vid[ref] == (n_frames - 1) // 5 + 1
 
     def test_real_format_stub_raises(self):
-        # MP4 stays behind the capability gate (MP3 headers now decode for
-        # real — an ID3 tag with no audio frames is a loud ValueError)
-        with pytest.raises(NotImplementedError):
+        # MP3/MP4 headers now decode for real — metadata-less blobs are
+        # loud ValueErrors (no moov box / no audio frames), not silent gates
+        with pytest.raises(ValueError, match="moov"):
             MM._parse_header(bytes(4) + b"ftypisom" + bytes(24))
         with pytest.raises(ValueError):
             MM._parse_header(b"ID3\x03\x00" + bytes(32))
@@ -210,9 +210,14 @@ class TestRealFormats:
         assert got["bmp-1"].kind == "image" and got["bmp-1"].n_frames == 1
 
     def test_compressed_formats_still_stubbed(self):
-        # MP4 remains behind the capability gate (PNG and baseline JPEG are
-        # now decoded for real); a malformed JPEG raises ValueError instead
-        with pytest.raises(NotImplementedError):
+        # the remaining honest gate: lossy VP8 (PNG/JPEG/VP8L/MP3/MP4
+        # headers all decode for real); malformed blobs raise ValueError
+        with pytest.raises(NotImplementedError, match="lossy VP8"):
+            MM._parse_header(
+                b"RIFF" + struct.pack("<I", 16) + b"WEBP"
+                + b"VP8 " + struct.pack("<I", 4) + bytes(4)
+            )
+        with pytest.raises(ValueError, match="moov"):
             MM._parse_header(bytes(4) + b"ftypisom" + bytes(24))
         with pytest.raises(ValueError):
             MM._parse_header(b"\xff\xd8\x00\x00 truncated jpeg")
