@@ -82,16 +82,20 @@ def _timed_cell(fn, spark, sf_dir: str) -> tuple[float, float]:
     without a manual re-run."""
     own0 = _tree_cpu_sec(os.getpid())
     busy0 = _proc_stat_busy()
+    st0, io0 = _proc_stat_steal_iowait()
     t0 = time.perf_counter()
     _force(fn(spark, sf_dir))
     elapsed = round(time.perf_counter() - t0, 3)
     busy1 = _proc_stat_busy()
+    st1, io1 = _proc_stat_steal_iowait()
     own1 = _tree_cpu_sec(os.getpid())
     ext = max(0.0, (busy1 - busy0) - (own1 - own0)) / max(elapsed, 1e-9)
+    steal = (st1 - st0) / max(elapsed, 1e-9)
+    iowait = (io1 - io0) / max(elapsed, 1e-9)
     # persisted/result-pinned intermediates must not pollute the next
     # measurement
     spark.catalog.clearCache()
-    return elapsed, round(ext, 3)
+    return elapsed, round(ext, 3), round(steal, 3), round(iowait, 3)
 
 
 DOCS_CACHE = os.environ.get("SPARK_GRAFT_DOCS_CACHE", "/tmp/mlt_spark_docs")
@@ -174,6 +178,7 @@ def run_bench(cpus: int, sf_dir: str, scaling_only: bool = False) -> dict:
 
     from pyspark.sql import functions as F
 
+    calib_start = _cpu_calibration()
     spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus, app_name=f"bench-{cpus}")
     # warmup: JVM codegen, parquet reader, shuffle, and Python/Arrow workers
     spark.range(100_000).groupBy(F.col("id") % 7).count().collect()
@@ -210,19 +215,28 @@ def run_bench(cpus: int, sf_dir: str, scaling_only: bool = False) -> dict:
         for name in HEADLINE:
             runs: list[float] = []
             ext: list[float] = []
+            steals: list[float] = []
+            iowaits: list[float] = []
             for _ in range(2):
-                e, x = _timed_cell(QUERIES[name], spark, sf_dir)
+                e, x, st, io = _timed_cell(QUERIES[name], spark, sf_dir)
                 runs.append(e)
                 ext.append(x)
+                steals.append(st)
+                iowaits.append(io)
             if max(runs) > 1.5 * min(runs):
-                e, x = _timed_cell(QUERIES[name], spark, sf_dir)
+                e, x, st, io = _timed_cell(QUERIES[name], spark, sf_dir)
                 runs.append(e)
                 ext.append(x)
+                steals.append(st)
+                iowaits.append(io)
+            best = runs.index(min(runs))
             timings[name] = min(runs)
             cell_meta[name] = {
                 "runs_sec": runs,
-                "external_cpu_cores_avg": ext[runs.index(min(runs))],
+                "external_cpu_cores_avg": ext[best],
                 "external_cpu_all": ext,
+                "steal_cores_all": steals,
+                "iowait_cores_all": iowaits,
             }
     # own process-tree CPU (python + JVM + Arrow workers), read BEFORE the
     # JVM is torn down — the scaling covariate's "ours" term
@@ -239,6 +253,11 @@ def run_bench(cpus: int, sf_dir: str, scaling_only: bool = False) -> dict:
         "cpus": cpus,
         "docs_pipeline": pipeline,
         "own_tree_cpu_sec": round(own_tree_cpu, 2),
+        "cpu_calibration_mb_per_sec": {
+            "start": calib_start,
+            "end": _cpu_calibration(),
+            "healthy_reference": 700.0,
+        },
         "cells": cell_meta,
     }
 
@@ -376,6 +395,41 @@ def _proc_stat_busy() -> float:
     return busy / os.sysconf("SC_CLK_TCK")
 
 
+def _cpu_calibration() -> float:
+    """Deterministic single-thread calibration: SHA-256 over a fixed 20 MB
+    buffer, repeated for ~0.6 s → MB/s. The r6 bench windows showed every
+    cell uniformly 3-4x slow with near-zero external busy CPU, steal, AND
+    iowait — i.e. the host throttles in ways /proc cannot see. A run's
+    calibration (recorded at start and end) anchors its wall-clock numbers
+    to an absolute speed: healthy ≈ 650-750 MB/s on this box; a run whose
+    calibration reads far below that is a degraded-window artifact, not a
+    regression, and is classifiable without a manual re-run."""
+    import hashlib
+
+    buf = bytes(20_000_000)
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < 0.6:
+        hashlib.sha256(buf).hexdigest()
+        n += 1
+    return round(n * 20.0 / (time.perf_counter() - t0), 1)
+
+
+def _proc_stat_steal_iowait() -> tuple[float, float]:
+    """(steal, iowait) CPU seconds since boot — the two host-contention
+    signals the busy-minus-ours covariate can miss or misattribute: steal
+    is hypervisor-level theft, iowait is shared-disk contention (excluded
+    from busy, yet it stalls cells just the same — the r6 bench window
+    showed 4x-slow cells with near-zero external busy CPU)."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    vals = [int(x) for x in parts]
+    hz = os.sysconf("SC_CLK_TCK")
+    steal = (vals[7] if len(vals) > 7 else 0) / hz
+    iowait = (vals[4] if len(vals) > 4 else 0) / hz
+    return steal, iowait
+
+
 def _scaling_child(cpus: int, env: dict) -> dict:
     """Run one scaling leg in a child process, measuring the DURING-run
     host-contention covariate: external_cores = (system busy CPU − this
@@ -412,6 +466,7 @@ def _scaling_child(cpus: int, env: dict) -> dict:
         "wall_sec": round(wall, 2),
         "own_cpu_sec": round(ours, 2),
         "external_cpu_cores_avg": round(external_cores, 3),
+        "cpu_calibration_mb_per_sec": _cpu_calibration(),
     }
     return r
 
