@@ -569,14 +569,45 @@ def run_scaling() -> dict:
     }
 
 
+def run_cells(names: list[str], cpus: int, sf_dir: str, reps: int = 3) -> dict:
+    """Targeted adjudication mode (``--cell a,b,c``): re-measure just the
+    named cells, ``reps`` runs each, with the full covariate set + a
+    calibration stamp per rep — the controlled re-run that phantom driver
+    cells have needed every round, now one command instead of a hand-rolled
+    script."""
+    from maplibre_tile_spec_spark.queries import QUERIES
+    from maplibre_tile_spec_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus, app_name="bench-cells")
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    _force(QUERIES["minhash_lsh_pairs"](spark, sf_dir))  # heavy warmup
+    spark.catalog.clearCache()
+    out: dict[str, list] = {}
+    for name in names:
+        rows = []
+        for _ in range(reps):
+            calib = _cpu_calibration()
+            e, x, st, io = _timed_cell(QUERIES[name], spark, sf_dir)
+            rows.append(
+                {"sec": e, "external_cpu": x, "steal": st, "iowait": io, "calib_mb_s": calib}
+            )
+        out[name] = rows
+    spark.stop()
+    return {"metric": "cell_adjudication", "cpus": cpus, "sf_dir": sf_dir, "cells": out}
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, default=CPUS)
     ap.add_argument("--sf-dir", default=SF_DIR)
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scaling-child", action="store_true")
+    ap.add_argument("--cell", metavar="NAMES", help="comma-separated cells: targeted best-of-3 re-measure with covariates")
     ap.add_argument("--make-sf1", metavar="DST", help="replicate --sf-dir 10x into DST (stress input)")
     args = ap.parse_args()
+    if args.cell:
+        print(json.dumps(run_cells(args.cell.split(","), args.cpus, args.sf_dir)))
+        sys.exit(0)
     if args.make_sf1:
         from maplibre_tile_spec_spark.session import get_spark
 

@@ -782,3 +782,24 @@ class TestMediaIntegration:
         )
         kind, w, h, frames, rate, body = _parse_header(wav)
         assert (kind, frames, rate) == ("audio", 100, 8000)
+
+
+class TestBitstreamPin:
+    def test_fixed_stream_bytes_and_decode(self):
+        """Pin the exact encoded bytes of one deterministic configuration:
+        any silent drift in bit packing, canonical code assignment, token
+        order, or transform math on EITHER side changes this hash or the
+        decoded pixels."""
+        import hashlib
+
+        img = _rand_rgba(24, 16, 123, colors=6)
+        img[5, :] = img[4, :]
+        blob = encode_vp8l(img, subtract_green=True, lz77=True, cache_bits=5)
+        assert len(blob) == 220
+        assert (
+            hashlib.sha256(blob).hexdigest()
+            == "4ad7f430d58af55bda5fc180635de4718d0eb457d1706a371cbe3ca77744aaf3"
+        )
+        w, h, out = decode_webp(blob)
+        assert (w, h) == (24, 16)
+        np.testing.assert_array_equal(out, img)
