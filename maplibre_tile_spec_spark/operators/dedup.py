@@ -143,6 +143,22 @@ def band_sig_expr(n_bands: int, band_size: int):
     )
 
 
+def pairs_from_bands(bands: DataFrame) -> DataFrame:
+    """Band table ``(id, band, sig)`` → lazy distinct candidate pairs
+    (doc_a < doc_b) sharing ≥1 band. Shared by :func:`lsh_candidate_pairs`
+    and callers that already hold a computed (persisted or stored) band
+    table — e.g. the incremental-dedup bootstrap, which previously paid the
+    full MinHash signature computation a second time just to re-derive the
+    same self-join input."""
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -160,13 +176,7 @@ def lsh_candidate_pairs(
     # self-join sides (~32× recompute observed at bench scale)
     sigs = minhash_signatures(docs, text_col, id_col, n_hashes, shingle_size, fast).persist()
     bdf = sigs.select("id", F.posexplode(band_sig_expr(n_bands, band_size)).alias("band", "sig"))
-    a = bdf.alias("a")
-    b = bdf.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
-        .distinct()
-    )
+    pairs = pairs_from_bands(bdf)
     return _scoped_materialize(pairs, sigs)
 
 

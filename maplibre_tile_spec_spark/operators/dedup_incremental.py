@@ -118,8 +118,16 @@ def write_band_store(
                 if r.col_name.strip() == "Num Buckets":
                     n_buckets = int(r.data_type)
                     break
+    # repartition to the bucket count ON the bucket columns before the write:
+    # repartition's HashPartitioning and bucketBy's bucket-id assignment are
+    # the same murmur3-pmod hash, so each write task holds exactly one
+    # bucket's rows and emits ONE file per bucket. Without it every upstream
+    # task writes a file per bucket it touches — tasks×buckets tiny files
+    # (4096 at the bench's 64×64), which dominated both the write commit and
+    # every later bucketed scan of the store.
     (
-        bands.write.mode(mode)
+        bands.repartition(n_buckets, "band", "sig")
+        .write.mode(mode)
         .bucketBy(n_buckets, "band", "sig")
         .sortBy("band", "sig")
         .format("parquet")
@@ -183,18 +191,7 @@ def lsh_dedup_incremental(
     no_edges = probe.join(cm, probe["old_id"] == cm["m_id"]).select(
         F.col("new_id").alias("doc_a"), F.col("old_cluster").alias("doc_b")
     )
-    a = new_bands.alias("a")
-    b = new_bands.alias("b")
-    nn_edges = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
-        .distinct()
-    )
+    nn_edges = dedup.pairs_from_bands(new_bands)
     # persist: connected_components sizes its partitioning with a count()
     # and re-reads the edges every iteration
     edges = no_edges.unionByName(nn_edges).persist()

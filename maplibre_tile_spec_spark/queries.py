@@ -692,8 +692,16 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_docs = d.filter(F.col("doc_id") % 5 == 0)
     # ---- standing state (amortized across batches in production) ----
     store_table = DI.ensure_store_table(spark, sf_dir.rstrip("/").split("/")[-1])
-    DI.write_band_store(DI.minhash_band_table(old_docs), store_table)
-    old_pairs = dedup.lsh_candidate_pairs(old_docs)
+    # one MinHash pass over the old corpus serves BOTH the store write and
+    # the bootstrap pair generation (the pairs are the same (band, sig)
+    # self-join the store rows feed) — previously the signatures were
+    # computed twice, once inside write_band_store and once inside
+    # lsh_candidate_pairs
+    bands_old = DI.minhash_band_table(old_docs).persist()
+    DI.write_band_store(bands_old, store_table)
+    old_pairs = dedup.pairs_from_bands(bands_old).persist()
+    old_pairs.count()
+    bands_old.unpersist()
     cluster_map = (
         dedup.cluster_assign(old_docs.select("doc_id"), old_pairs)
         .select(F.col("doc_id").alias("id"), "cluster_id")
