@@ -38,6 +38,35 @@ def extract_geom_spans(docs: DataFrame) -> DataFrame:
 
 _TYPE_CODE_MAP = {name: code for name, code in W.TYPE_CODES.items()}
 
+#: first "lon lat" pair after the opening paren — the representative point
+#: (identical to ``_parse_batch``'s rep, which is the first vertex for every
+#: geometry class)
+_FIRST_PAIR_RE = r"\(\s*(-?[0-9.eE+-]+)\s+(-?[0-9.eE+-]+)"
+
+
+def extract_rep_points(docs: DataFrame) -> DataFrame:
+    """(doc_id, span_offset, wkt, rep_lon, rep_lat) with the representative
+    point extracted by a JVM ``regexp_extract`` instead of the Arrow parse
+    kernel — zero Python in the plan.
+
+    The tile-encode path only consumes the rep point (tile assignment); the
+    structural parse happens inside the encode kernel anyway, so routing
+    the scan through :func:`extract_features` paid the JVM→Python→JVM
+    round-trip of a full parse just to carry two doubles. ``regexp_extract``
+    + ``cast('double')`` returns the exact same IEEE value as the Python
+    parser (both are correctly-rounded decimal→binary conversions of the
+    same token), verified value-for-value against ``extract_features`` at
+    bench scale. Use :func:`extract_features` when bbox or geometry type is
+    needed (e.g. the clipped tiler)."""
+    spans = extract_geom_spans(docs)
+    return spans.select(
+        "doc_id",
+        "span_offset",
+        "wkt",
+        F.regexp_extract("wkt", _FIRST_PAIR_RE, 1).cast("double").alias("rep_lon"),
+        F.regexp_extract("wkt", _FIRST_PAIR_RE, 2).cast("double").alias("rep_lat"),
+    )
+
 
 def _parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     """Vectorized WKT summary for a whole Arrow batch.

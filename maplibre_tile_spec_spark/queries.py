@@ -1255,7 +1255,11 @@ def q_mlt_tile_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from maplibre_tile_spec_spark.operators import tiler
 
     docs = _geo_docs_from_events(spark, sf_dir)
-    feats = FE.extract_features(docs)
+    # rep-point extraction stays in Catalyst (features.extract_rep_points):
+    # the encode path consumes only the tile assignment, and the structural
+    # WKT parse happens inside the encode kernel — no BatchEval/ArrowEval
+    # node before the encode exchange
+    feats = FE.extract_rep_points(docs)
     return tiler.encode_tiles(feats, zoom=8).select(
         F.col("z").cast("long"),
         F.col("x").cast("long"),
@@ -1283,7 +1287,13 @@ def q_mlt_tile_encode_clipped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from maplibre_tile_spec_spark.operators import tiler
 
     docs = _geo_docs_from_events(spark, sf_dir, multi=True)
-    feats = FE.extract_features(docs)
+    # persisted: the auto-salt pre-aggregate and the main encode branch both
+    # read the parsed features — without the cache boundary the Arrow parse
+    # runs once per branch (~0.9 s at sf0.1). Populated lazily during the
+    # caller's single action; the bench clears the cache between cells and
+    # the oracle session ends after the query, so nothing input-sized stays
+    # pinned across measurements.
+    feats = FE.extract_features(docs).persist()
     return tiler.encode_tiles_clipped(feats, zoom=7, buffer=64).select(
         F.col("z").cast("long"),
         F.col("x").cast("long"),
@@ -1342,7 +1352,7 @@ def q_mlt_tile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from maplibre_tile_spec_spark.operators import tiler
 
     docs = _geo_docs_from_events(spark, sf_dir)
-    feats = FE.extract_features(docs)
+    feats = FE.extract_rep_points(docs)  # Catalyst rep extraction (see q_mlt_tile_encode)
     tiles = tiler.encode_tiles(feats, zoom=6)
     return tiler.decode_tiles_membership(tiles).select(
         F.col("z").cast("long"),
@@ -1417,7 +1427,7 @@ def q_mlt_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from maplibre_tile_spec_spark.operators import tiler
 
     docs = _geo_docs_from_events(spark, sf_dir)
-    feats = FE.extract_features(docs)
+    feats = FE.extract_rep_points(docs)  # Catalyst rep extraction (see q_mlt_tile_encode)
     tiles = tiler.encode_tiles(feats, zoom=8)
     return tiler.transcode_tiles(tiles).select(
         F.col("z").cast("long"),
