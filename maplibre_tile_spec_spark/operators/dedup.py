@@ -187,9 +187,9 @@ def _ngram_jaccard_build(
     shingle_size: int,
     threshold: float,
     positional_filter: bool = True,
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """Lazy plan for ngram_jaccard_pairs → (result, persisted shingle sets,
-    candidate pairs).
+    persisted prefix index, candidate pairs).
     Split out so plan-shape tests can inspect the un-materialized query and
     the skew test can measure the PPJoin+ filters' candidate reduction."""
     sh, ntok = _shingles(text_col, shingle_size)
@@ -215,11 +215,17 @@ def _ngram_jaccard_build(
     dfreq = base.groupBy("sh").agg(F.count("*").alias("df"))
     w_id = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("sh").asc())
     prefix_len = F.col("n_sh") - F.floor(F.lit(threshold) * F.col("n_sh")).cast("long") + 1
+    # persisted: both sides of the candidate self-join read the prefix index,
+    # and Catalyst re-derives the whole df-aggregate + join + window subtree
+    # per side without a materialization boundary (measured ~0.9 s of the
+    # 3.4 s cell at sf0.1). Prefix-sized (smaller than the exploded shingle
+    # table); released by the caller's _scoped_materialize.
     prefixes = (
         base.join(dfreq, "sh")
         .withColumn("rn", F.row_number().over(w_id))
         .filter(F.col("rn") <= prefix_len)
         .select("id", "sh", "rn", "n_sh")
+        .persist()
     )
     a = prefixes.alias("a")
     b = prefixes.alias("b")
@@ -273,7 +279,7 @@ def _ngram_jaccard_build(
     n_inter = F.size(F.array_intersect("sha", "shb"))
     jac = n_inter / (F.col("na") + F.col("nb") - n_inter)
     out = verified.select("doc_a", "doc_b", jac.alias("jaccard")).filter(F.col("jaccard") >= threshold)
-    return out, sets, cand
+    return out, sets, prefixes, cand
 
 
 def ngram_jaccard_pairs(
@@ -301,8 +307,8 @@ def ngram_jaccard_pairs(
     (never a Window over the shingle key — see the inline comment), and the
     returned DataFrame is eagerly materialized with the input-sized
     intermediates released (``_scoped_materialize``)."""
-    out, sets, _cand = _ngram_jaccard_build(docs, text_col, id_col, shingle_size, threshold)
-    return _scoped_materialize(out, sets)
+    out, sets, prefixes, _cand = _ngram_jaccard_build(docs, text_col, id_col, shingle_size, threshold)
+    return _scoped_materialize(out, sets, prefixes)
 
 
 def connected_components(

@@ -342,12 +342,23 @@ def knn_join(
     resolved_parts: list[DataFrame] = []
     cached_passes: list[DataFrame] = []
     r = ring
+    all_resolved = False
     for _ in range(expansion_passes):
         resolved, resolved_ids, topk = _knn_ring_pass(remaining, pts, level, r, k_col, qid_col, pid_col)
         resolved_parts.append(resolved.select(qid_col, pid_col, "dist_km", "rank"))
         cached_passes.append(topk)
         remaining = remaining.join(F.broadcast(resolved_ids), qid_col, "left_anti")
         r *= ring_growth
+        # bounded early-exit probe: when a pass resolves every query (the
+        # common case — the ring bound is designed to), the later passes and
+        # the broadcast fallback would still submit their full job chains
+        # over empty inputs, ~1 s of pure scheduling at bench scale. The
+        # probe reuses the pass's persisted topk (limit(1) stops at the
+        # first surviving row) and the skipped branches contribute no rows,
+        # so the result set is identical either way.
+        if remaining.limit(1).count() == 0:
+            all_resolved = True
+            break
 
     # exact fallback: broadcast the (rare) still-unresolved queries.
     # observe() rides the final action so callers can audit the remainder
@@ -355,29 +366,34 @@ def knn_join(
     # bound ever stops resolving ~all queries, this surfaces it without an
     # extra job; the broadcast itself hard-fails long before the fallback
     # could silently become a full cartesian.
-    w = Window.partitionBy(qid_col).orderBy(F.col("dist_km").asc(), F.col(pid_col).asc())
-    from pyspark.sql import Observation
+    if all_resolved:
+        out = resolved_parts[0]
+        for part in resolved_parts[1:]:
+            out = out.unionByName(part)
+    else:
+        w = Window.partitionBy(qid_col).orderBy(F.col("dist_km").asc(), F.col(pid_col).asc())
+        from pyspark.sql import Observation
 
-    remaining = remaining.observe(
-        Observation("knn_fallback"), F.count(F.lit(1)).alias("n_unresolved")
-    )
-    fb_cand = points.select(
-        F.col(pid_col), F.col("lon").alias("p_lon"), F.col("lat").alias("p_lat")
-    ).crossJoin(F.broadcast(remaining.select(qid_col, "lon", "lat", k_col)))
-    fb = (
-        fb_cand.select(
-            qid_col,
-            k_col,
-            pid_col,
-            G.haversine_km(F.col("lon"), F.col("lat"), F.col("p_lon"), F.col("p_lat")).alias("dist_km"),
+        remaining = remaining.observe(
+            Observation("knn_fallback"), F.count(F.lit(1)).alias("n_unresolved")
         )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= F.col(k_col))
-        .select(qid_col, pid_col, "dist_km", "rank")
-    )
-    out = fb
-    for part in resolved_parts:
-        out = out.unionByName(part)
+        fb_cand = points.select(
+            F.col(pid_col), F.col("lon").alias("p_lon"), F.col("lat").alias("p_lat")
+        ).crossJoin(F.broadcast(remaining.select(qid_col, "lon", "lat", k_col)))
+        fb = (
+            fb_cand.select(
+                qid_col,
+                k_col,
+                pid_col,
+                G.haversine_km(F.col("lon"), F.col("lat"), F.col("p_lon"), F.col("p_lat")).alias("dist_km"),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= F.col(k_col))
+            .select(qid_col, pid_col, "dist_km", "rank")
+        )
+        out = fb
+        for part in resolved_parts:
+            out = out.unionByName(part)
     # materialize once through the per-pass caches, then release them:
     # the returned result stays persisted (output-sized, lineage intact),
     # nothing input-sized is pinned across the caller's session

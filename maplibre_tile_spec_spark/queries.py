@@ -147,7 +147,10 @@ FROM pts GROUP BY 1, 2
 
 def q_tile_pyramid_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tile counts rolled up the pyramid (z12 → z8 → z4) via ancestor shifts."""
-    base = q_tile_assign(spark, sf_dir)
+    # persisted: the three pyramid levels each aggregate over the same z12
+    # base — without the cache boundary the scan + two-phase aggregate runs
+    # once per union branch. Output-sized (one row per z12 tile).
+    base = q_tile_assign(spark, sf_dir).persist()
     parts = []
     for z in (4, 8, 12):
         sh = 12 - z

@@ -88,12 +88,12 @@ class TestNgramJaccard:
         assert all(a >= 1000 for a, _ in got)
         # VERDICT r4 #4: the PPJoin+ length+positional filters measurably cut
         # the verified-candidate count vs prefix-filter-only on this skew
-        _, s1, cand_plain = dedup._ngram_jaccard_build(
+        _, s1, p1, cand_plain = dedup._ngram_jaccard_build(
             docs, "text", "doc_id", 3, 0.2, positional_filter=False
         )
-        _, s2, cand_pos = dedup._ngram_jaccard_build(docs, "text", "doc_id", 3, 0.2)
+        _, s2, p2, cand_pos = dedup._ngram_jaccard_build(docs, "text", "doc_id", 3, 0.2)
         n_plain, n_pos = cand_plain.count(), cand_pos.count()
-        s1.unpersist(), s2.unpersist()
+        s1.unpersist(), s2.unpersist(), p1.unpersist(), p2.unpersist()
         print(f"ngram candidates: prefix-only={n_plain} +positional={n_pos}")
         assert n_pos < n_plain
         assert got <= {(a, b) for a, b in ((r.doc_a, r.doc_b) for r in cand_pos.collect())}

@@ -137,7 +137,7 @@ class TestNgramDfShape:
         from maplibre_tile_spec_spark.sources import tables
 
         docs = tables.load(spark, sf_dir, "documents")
-        out, _sets, _cand = dedup._ngram_jaccard_build(docs, "text", "doc_id", 3, 0.2)
+        out, _sets, _prefixes, _cand = dedup._ngram_jaccard_build(docs, "text", "doc_id", 3, 0.2)
         plan = plan_of(out)
         assert "windowspecdefinition(sh" not in plan, "df computed via hot-key window"
         # the df aggregate: partial + final HashAggregate keyed on sh
