@@ -101,6 +101,12 @@ class _Tree:
             next_code[ln] = code
             if bl_count[ln] and next_code[ln] + bl_count[ln] > (1 << ln):
                 raise ValueError("over-subscribed VP8L prefix code")
+        # reject under-subscribed (incomplete) codes too: libwebp refuses
+        # them up front, and an incomplete tree would decode garbage symbols
+        # from a corrupt stream before eventually erroring (Kraft equality
+        # must hold exactly for a multi-symbol code)
+        if sum(1 << (max_len - ln) for ln, _ in nz) != 1 << max_len:
+            raise ValueError("incomplete VP8L prefix code")
         table: dict[tuple[int, int], int] = {}
         for s, ln in enumerate(lengths):
             if ln:

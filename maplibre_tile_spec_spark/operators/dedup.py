@@ -354,41 +354,56 @@ def connected_components(
     # 10^10-edge graph must not funnel into one task. Upstream pair sources
     # (lsh/simhash/ngram) return persisted DataFrames, so the count is free.
     n_edges = pairs.count()
-    par = pairs.sparkSession.sparkContext.defaultParallelism
+    spark = pairs.sparkSession
+    par = spark.sparkContext.defaultParallelism
     parts = max(1, min(4 * par, n_edges // 250_000 + 1))
-    sym = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    edges = (
-        sym.unionByName(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .repartition(parts, "v")
-        .persist()
-    )
-    labels = (
-        edges.select(F.col("u").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("comp"))
-        .localCheckpoint(eager=True)
-    )
-    prev = object()
-    converged = False
-    for _ in range(max_iter):
-        nbr = edges.join(labels, edges["v"] == labels["id"]).select(
-            F.col("u").alias("id"), "comp"
+    # tiny-graph fast path: with a single edge partition AQE has nothing to
+    # adapt (no skew to split, nothing to coalesce) but still inserts a
+    # materialization boundary at every exchange of every iteration —
+    # measured ~1.5× the per-iteration wall on bench-scale graphs. At
+    # parts > 1 AQE stays on (skew-split of the neighbor join is the scale
+    # safety valve). Restored in the finally even on non-convergence.
+    aqe_off = parts == 1
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    if aqe_off:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        sym = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        edges = (
+            sym.unionByName(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .repartition(parts, "v")
+            .persist()
         )
-        merged = nbr.unionByName(labels).groupBy("id").agg(F.min("comp").alias("comp"))
-        parent = merged.select(F.col("id").alias("p_id"), F.col("comp").alias("p_comp"))
-        jumped = merged.join(parent, merged["comp"] == parent["p_id"], "left").select(
-            "id", F.coalesce("p_comp", "comp").alias("comp")
+        labels = (
+            edges.select(F.col("u").alias("id"))
+            .distinct()
+            .select("id", F.col("id").alias("comp"))
+            .localCheckpoint(eager=True)
         )
-        # LAZY checkpoint: the convergence aggregate below is the action
-        # that materializes it, so each iteration costs ONE Spark job
-        # (checkpoint + sum together), not two
-        labels = jumped.localCheckpoint(eager=False)
-        s = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")).first()["s"]
-        if s == prev:
-            converged = True
-            break
-        prev = s
-    edges.unpersist()
+        prev = object()
+        converged = False
+        for _ in range(max_iter):
+            nbr = edges.join(labels, edges["v"] == labels["id"]).select(
+                F.col("u").alias("id"), "comp"
+            )
+            merged = nbr.unionByName(labels).groupBy("id").agg(F.min("comp").alias("comp"))
+            parent = merged.select(F.col("id").alias("p_id"), F.col("comp").alias("p_comp"))
+            jumped = merged.join(parent, merged["comp"] == parent["p_id"], "left").select(
+                "id", F.coalesce("p_comp", "comp").alias("comp")
+            )
+            # LAZY checkpoint: the convergence aggregate below is the action
+            # that materializes it, so each iteration costs ONE Spark job
+            # (checkpoint + sum together), not two
+            labels = jumped.localCheckpoint(eager=False)
+            s = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")).first()["s"]
+            if s == prev:
+                converged = True
+                break
+            prev = s
+        edges.unpersist()
+    finally:
+        if aqe_off:
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     if not converged:
         # silently-unconverged labels would merge downstream clusters on
         # wrong components with no signal (ADVICE r5) — fail loudly; with

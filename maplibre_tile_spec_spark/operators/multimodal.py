@@ -291,11 +291,14 @@ def _decode_mp4(payload: bytes) -> tuple[str, int, int, int, int, bytes]:
                 w = h = n_samples = timescale = duration = 0
                 for ttype, t0, t1 in _mp4_boxes(payload, m0, m1):
                     if ttype == b"tkhd":
-                        ver = payload[t0]
+                        # a body shorter than the two trailing 16.16 fields
+                        # cannot hold width/height and would silently read
+                        # garbage from preceding bytes
+                        if t1 - t0 < 8:
+                            raise ValueError("truncated tkhd box")
                         # width/height are the LAST two 16.16 fields
                         w = struct.unpack(">I", payload[t1 - 8 : t1 - 4])[0] >> 16
                         h = struct.unpack(">I", payload[t1 - 4 : t1])[0] >> 16
-                        del ver
                     elif ttype == b"mdia":
                         for dtype, d0, d1 in _mp4_boxes(payload, t0, t1):
                             if dtype == b"mdhd":

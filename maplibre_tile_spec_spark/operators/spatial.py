@@ -46,6 +46,21 @@ EARTH_CIRCUMFERENCE_KM = 40075.017
 PIP_COVER_SCHEMA = "poly_id string, level int, cx int, cy int"
 
 
+def _cover_rows(
+    poly_id: str, wkt: str, lv: list[int], lv_set: set[int], max_cells: int, compact: bool
+) -> list[tuple]:
+    """Cover cells for one polygon — shared by the distributed
+    ``polygon_cover`` kernel and the driver-side cover of ``pip_join``'s
+    broadcast branch so both paths emit identical rows."""
+    x0, y0, x1, y1 = W.wkt_bbox(wkt)
+    raw = G.adaptive_cover_level(x0, y0, x1, y1, max_cells=max_cells, max_level=lv[-1])
+    level = max([l for l in lv if l <= raw], default=lv[0])
+    cells = [(level, cx, cy) for cx, cy in G.bbox_cover_cells(x0, y0, x1, y1, level)]
+    if compact:
+        cells = G.compact_cells(cells, lv_set)
+    return [(poly_id, clevel, cx, cy) for clevel, cx, cy in cells]
+
+
 def polygon_cover(
     polys: DataFrame,
     levels: tuple[int, ...] = (4, 6, 8, 10, 12),
@@ -63,14 +78,7 @@ def polygon_cover(
         for pdf in batches:
             rows = []
             for poly_id, wkt in zip(pdf["poly_id"], pdf["geom_wkt"]):
-                x0, y0, x1, y1 = W.wkt_bbox(wkt)
-                raw = G.adaptive_cover_level(x0, y0, x1, y1, max_cells=max_cells, max_level=lv[-1])
-                level = max([l for l in lv if l <= raw], default=lv[0])
-                cells = [(level, cx, cy) for cx, cy in G.bbox_cover_cells(x0, y0, x1, y1, level)]
-                if compact:
-                    cells = G.compact_cells(cells, lv_set)
-                for clevel, cx, cy in cells:
-                    rows.append((poly_id, clevel, cx, cy))
+                rows.extend(_cover_rows(poly_id, wkt, lv, lv_set, max_cells, compact))
             yield pd.DataFrame(rows, columns=["poly_id", "level", "cx", "cy"])
 
     return polys.mapInPandas(cover, schema=PIP_COVER_SCHEMA)
@@ -147,9 +155,25 @@ def pip_join(
             _PIP_PROBE_CACHE[key] = entry
         entry[1] += 1
         broadcast_polys = entry[0]
-    cover = polygon_cover(polys, levels=levels)
     if broadcast_polys:
-        cover = F.broadcast(cover)
+        # dimension-sized polygon side: ONE driver collect serves both the
+        # pre-parsed ring broadcast (below) and a driver-computed cover —
+        # identical rows to the distributed kernel via _cover_rows — so the
+        # candidate-generation job carries no Python stage at all (the
+        # mapInPandas cover cost a worker round-trip inside the broadcast
+        # exchange). The co-located branch keeps the distributed kernel.
+        poly_rows = polys.select("poly_id", "geom_wkt").collect()
+        lv0 = sorted(levels)
+        cover_cells = []
+        for r in poly_rows:
+            cover_cells.extend(
+                _cover_rows(r["poly_id"], r["geom_wkt"], lv0, set(lv0), 64, True)
+            )
+        cover = F.broadcast(
+            polys.sparkSession.createDataFrame(cover_cells, PIP_COVER_SCHEMA)
+        )
+    else:
+        cover = polygon_cover(polys, levels=levels)
 
     # one scan, one hash join: compute the finest-level cell once, derive each
     # coarser level's cell by a right-shift, explode (level, cx, cy) structs
@@ -186,7 +210,8 @@ def pip_join(
     if broadcast_polys:
         # dimension-sized polygon side: ship pre-parsed rings as a broadcast
         # variable instead of joining WKT strings onto every candidate row
-        ring_map = {r["poly_id"]: _rings_of(r["geom_wkt"]) for r in polys.select("poly_id", "geom_wkt").collect()}
+        # (poly_rows collected once above, shared with the cover)
+        ring_map = {r["poly_id"]: _rings_of(r["geom_wkt"]) for r in poly_rows}
         bc = points.sparkSession.sparkContext.broadcast(ring_map)
 
         def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

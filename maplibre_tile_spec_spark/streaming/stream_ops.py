@@ -188,6 +188,12 @@ def streaming_dedup_incremental(
     de-duplicates candidate pairs) and cost only their storage. The map
     snapshot is keyed by batch id, so its rewrite is naturally idempotent.
 
+    **Single-writer assumption**: MANIFEST.json is read-modify-written
+    without locking, so exactly one query may own a ``state_dir`` at a
+    time — give each query its own ``state_dir`` (e.g. derive it from the
+    checkpoint location). Two concurrent writers (an operator restart
+    racing a zombie run) could lose processed-batch entries.
+
     Returns the started StreamingQuery."""
     import json
     import os
