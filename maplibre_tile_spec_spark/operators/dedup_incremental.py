@@ -55,7 +55,14 @@ def ensure_store_table(spark, suffix: str, location: str = "/tmp/mlt_band_stores
     """Create (if needed) the catalog database holding band-store tables at
     an explicit filesystem location and return a qualified table name for
     ``suffix`` (sanitized). In production this is the lakehouse catalog; in
-    the sandbox it is a datasource-table database under /tmp."""
+    the sandbox it is a datasource-table database under /tmp.
+
+    **Single-driver assumption**: the leftover-cleanup below exists because
+    the sandbox's in-memory catalog forgets tables across sessions while
+    their files persist; it assumes one driver owns ``location`` at a time.
+    Two concurrent drivers bootstrapping the same suffix would race — point
+    them at distinct locations (or a real shared catalog, where this
+    cleanup never fires because the table entry survives)."""
     import os
     import re
     import shutil
@@ -65,10 +72,23 @@ def ensure_store_table(spark, suffix: str, location: str = "/tmp/mlt_band_stores
     table = f"mlt_stores.{name}"
     # the in-memory catalog is per-session but the table files persist: a
     # fresh session can't overwrite a location it has no table entry for —
-    # drop any leftover state so mode="overwrite" always works
+    # drop any leftover state so mode="overwrite" always works. Refuse to
+    # delete anything that does not look like a Spark table directory
+    # (guards a mistyped ``location`` from silently erasing foreign data).
     if not spark.catalog.tableExists(table):
         leftover = os.path.join(location, name)
         if os.path.isdir(leftover):
+            foreign = [
+                f
+                for f in os.listdir(leftover)
+                if not (f.startswith("part-") or f.startswith("_") or f.startswith("."))
+            ]
+            if foreign:
+                raise ValueError(
+                    f"refusing to clear leftover store dir {leftover}: "
+                    f"non-table entries present ({foreign[:3]}); move them or "
+                    "choose a different location/suffix"
+                )
             shutil.rmtree(leftover, ignore_errors=True)
     return table
 

@@ -473,6 +473,30 @@ class TestIncrementalDedup:
         # remap application is a broadcast join over the corpus-sized map
         assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
 
+    def test_ensure_store_refuses_foreign_leftovers(self, spark, tmp_path):
+        """The leftover-cleanup only ever deletes directories that look like
+        Spark table output; a mistyped location holding foreign data must
+        raise instead of being silently erased."""
+        import os
+
+        from maplibre_tile_spec_spark.operators import dedup_incremental as DI
+
+        loc = str(tmp_path / "stores")
+        os.makedirs(os.path.join(loc, "band_store_guard"))
+        with open(os.path.join(loc, "band_store_guard", "precious.txt"), "w") as f:
+            f.write("not a table file")
+        with pytest.raises(ValueError, match="refusing to clear"):
+            DI.ensure_store_table(spark, "guard", location=loc)
+        # still present — nothing was deleted
+        assert os.path.exists(os.path.join(loc, "band_store_guard", "precious.txt"))
+        # a genuine leftover (only part-/_ files) is cleared as before
+        leftover = os.path.join(loc, "band_store_guard2")
+        os.makedirs(leftover)
+        open(os.path.join(leftover, "_SUCCESS"), "w").close()
+        open(os.path.join(leftover, "part-00000.parquet"), "w").close()
+        DI.ensure_store_table(spark, "guard2", location=loc)
+        assert not os.path.exists(leftover)
+
     def test_keep_canonical_union_semantics(self, spark, split):
         """incremental_keep_canonical over (standing canon table, batch)
         equals dedup_keep_canonical recomputed over old ∪ new."""
