@@ -365,8 +365,13 @@ def connected_components(
     # safety valve). Restored in the finally even on non-convergence.
     aqe_off = parts == 1
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     if aqe_off:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
+        # ... and with AQE off, the loop's joins/aggregates would otherwise
+        # shuffle into spark.sql.shuffle.partitions tiny tasks per stage;
+        # pin them to the edge partition count for the loop's duration
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     try:
         sym = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         edges = (
@@ -404,6 +409,7 @@ def connected_components(
     finally:
         if aqe_off:
             spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     if not converged:
         # silently-unconverged labels would merge downstream clusters on
         # wrong components with no signal (ADVICE r5) — fail loudly; with
