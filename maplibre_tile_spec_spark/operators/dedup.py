@@ -539,6 +539,11 @@ def dedup_keep_canonical(
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 60) -> DataFrame:
     """60-bit SimHash: per-token hash from md5 hex (first 15 nibbles → long),
     per-bit majority vote across tokens. (id, simhash long)."""
+    from maplibre_tile_spec_spark.operators.text import spread_small_scan
+
+    # the per-token md5 runs upstream of the vote's exchange — on a
+    # single-row-group scan it would serialize through one task
+    docs = spread_small_scan(docs)
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     tok_hash = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"))
     base = docs.select(F.col(id_col).alias("id"), F.explode(tok_hash).alias("h"))

