@@ -36,8 +36,12 @@ def cosine_topk_bruteforce(
     queries: DataFrame, corpus: DataFrame, k: int = 5, qid_col: str = "qid", cid_col: str = "cid"
 ) -> DataFrame:
     """queries (qid, embedding), corpus (cid, embedding) → (qid, cid, cos, rank)."""
+    from maplibre_tile_spec_spark.operators.text import spread_small_scan
+
     q = queries.select(F.col(qid_col), F.col("embedding").alias("q_emb"))
-    c = corpus.select(F.col(cid_col), F.col("embedding").alias("c_emb"))
+    # conditional spread: the cosine folds run upstream of the first
+    # exchange, which serializes on single-row-group scans
+    c = spread_small_scan(corpus).select(F.col(cid_col), F.col("embedding").alias("c_emb"))
     pairs = c.crossJoin(F.broadcast(q)).filter(F.col(qid_col) != F.col(cid_col))
     w = Window.partitionBy(qid_col).orderBy(F.col("cos").desc(), F.col(cid_col).asc())
     return (
@@ -152,6 +156,9 @@ def ann_lsh_topk_catalyst(
     Catalyst/SQL formulation), bands, join, and exact cosine re-rank."""
     planes = rademacher_planes(dim, n_planes, seed)
     n_bands = n_planes // band_bits
+    # no spread here (unlike cosine_topk_bruteforce): the signature kernel
+    # is light and the candidate join re-shuffles anyway — measured 1.39 s
+    # plain vs 1.89 s spread at sf0.1
 
     def bands(df: DataFrame, id_col: str) -> DataFrame:
         sigs = rademacher_signatures_arrow(df, planes, id_col)

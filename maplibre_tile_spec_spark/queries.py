@@ -498,11 +498,17 @@ FROM documents
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for the first 20 vectors."""
+    from maplibre_tile_spec_spark.operators.text import spread_small_scan
+
     emb = tables.load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
     )
-    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb"))
+    # spread the corpus side: a single-row-group scan would run every
+    # cosine fold of the broadcast cross join on ONE task (0.9 s → 0.5 s)
+    c = spread_small_scan(emb).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    )
     pairs = c.crossJoin(F.broadcast(q)).filter(F.col("qid") != F.col("cid"))
     dbl = lambda col: F.transform(col, lambda x: x.cast("double"))  # noqa: E731
     dot = F.aggregate(
